@@ -1,0 +1,238 @@
+"""IQ sample sources: raw-capture files, synthetic tones, live-SDR stub.
+
+All sources speak one protocol: ``read(n) -> (re, im)`` float32 planes plus
+``retune(fc, fs, gain) -> bool`` — the duck interface the DSP layer consumes.
+Complex never crosses the host<->device boundary (this TPU backend cannot
+transfer complex dtypes), so sources emit split planes directly.
+
+Reference equivalents:
+  * raw rtl_sdr capture format (uint8 interleaved IQ, value-127 offset):
+    octave/load_rtlsdr.m:8-13
+  * synthetic multi-tone simulator: testfft.py:13-81
+  * hardware HAL semantics (retune flush, failure -> recreate + bOk=False):
+    kspecanal.py:287-347
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Protocol, Sequence, Tuple
+
+import numpy as np
+
+Planes = Tuple[np.ndarray, np.ndarray]
+
+# Chunked-read unit mirroring gSdrReadUnit = 2**18 (kspecanal.py:311).
+SDR_READ_UNIT = 2 ** 18
+
+
+class IQSource(Protocol):
+    center_freq: float
+    sample_rate: float
+    gain: float
+
+    def read(self, n: int) -> Planes: ...
+    def retune(self, center_freq: float, sample_rate: float,
+               gain: float) -> bool: ...
+    def close(self) -> None: ...
+
+
+def load_rtlsdr_capture(path: str, count: Optional[int] = None,
+                        offset: int = 0) -> Planes:
+    """Decode an ``rtl_sdr`` capture file into float32 IQ planes.
+
+    Format per octave/load_rtlsdr.m: uint8 bytes, value-127 offset,
+    interleaved I then Q.  ``offset``/``count`` are in complex samples.
+
+    Uses the native C++ decoder when built (see native/iqdecode.cpp);
+    falls back to vectorized NumPy.
+    """
+    with open(path, "rb") as f:
+        f.seek(offset * 2)
+        raw = np.fromfile(f, dtype=np.uint8,
+                          count=-1 if count is None else count * 2)
+    if len(raw) % 2:
+        raw = raw[:-1]
+    try:
+        from kspecanal_tpu.io import native_iq
+        return native_iq.decode_u8_iq(raw)
+    except (ImportError, OSError):
+        x = raw.astype(np.float32) - np.float32(127.0)
+        return np.ascontiguousarray(x[0::2]), np.ascontiguousarray(x[1::2])
+
+
+class FileIQSource:
+    """Streams IQ from a raw rtl_sdr capture file, wrapping around at EOF
+    so arbitrarily long sessions can replay a finite capture."""
+
+    def __init__(self, path: str, center_freq: float = 92e6,
+                 sample_rate: float = 2.4e6, gain: float = 19.1,
+                 wrap: bool = True):
+        self.center_freq = center_freq
+        self.sample_rate = sample_rate
+        self.gain = gain
+        self._re, self._im = load_rtlsdr_capture(path)
+        if len(self._re) == 0:
+            raise ValueError(f"empty IQ capture: {path}")
+        self._pos = 0
+        self._wrap = wrap
+        self.exhausted = False
+
+    def read(self, n: int) -> Planes:
+        re = np.empty(n, np.float32)
+        im = np.empty(n, np.float32)
+        got = 0
+        while got < n:
+            take = min(n - got, len(self._re) - self._pos)
+            re[got:got + take] = self._re[self._pos:self._pos + take]
+            im[got:got + take] = self._im[self._pos:self._pos + take]
+            self._pos += take
+            got += take
+            if self._pos == len(self._re):
+                if not self._wrap:
+                    self.exhausted = True
+                    re[got:] = 0.0
+                    im[got:] = 0.0
+                    return re, im
+                self._pos = 0
+        return re, im
+
+    def retune(self, center_freq, sample_rate, gain) -> bool:
+        self.center_freq = center_freq
+        self.sample_rate = sample_rate
+        self.gain = gain
+        return True
+
+    def close(self):
+        pass
+
+
+class SynthIQSource:
+    """Deterministic multi-tone simulator — the testfft.py fixture rebuilt
+    as a seedable source.
+
+    Tone placement follows testfft.py:36-55 ``abs_freqs``: one tone per
+    integer MHz inside the tuned band, synthesized at offset ``fC - cur``
+    with the reference's ``g*sin(2pi f t) + j*g*cos(2pi f t)`` convention
+    (= j*e^{-j 2pi f t}: parameter +f lands at spectral -f), amplitude
+    ``10**(gain/10)`` each, random start phase (testfft.py:63-77).
+    ``seed=None`` reproduces the reference's nondeterministic start time;
+    an int seed gives deterministic streams for tests.
+    """
+
+    def __init__(self, center_freq: float = 92e6, sample_rate: float = 2.4e6,
+                 gain: float = 0.5, seed: Optional[int] = 0,
+                 tones_hz: Optional[Sequence[float]] = None,
+                 tone_spacing_hz: float = 1e6):
+        self.center_freq = center_freq
+        self.sample_rate = sample_rate
+        self.gain = gain
+        self._rng = np.random.default_rng(seed)
+        self._tones = tones_hz  # explicit relative offsets, or None -> grid
+        self._spacing = tone_spacing_hz
+
+    def grid_tones(self) -> np.ndarray:
+        """testfft.py:36-55: a tone at every integer multiple of the grid
+        spacing within [fC - fS/2, fC + fS/2], at offset fC - cur."""
+        start = self.center_freq - self.sample_rate / 2
+        end = self.center_freq + self.sample_rate / 2
+        s = int(math.ceil(start / self._spacing) * self._spacing)
+        e = int((end // self._spacing) * self._spacing) + 1
+        return np.array([self.center_freq - cur
+                         for cur in range(s, e, int(self._spacing))])
+
+    def read(self, n: int) -> Planes:
+        f = (np.asarray(self._tones, np.float64) if self._tones is not None
+             else self.grid_tones())
+        gain_mult = 10 ** (self.gain / 10)
+        dur = n / self.sample_rate
+        t_start = float(self._rng.random())
+        t = np.linspace(t_start, t_start + dur, n)
+        ang = 2 * np.pi * f[:, None] * t[None, :]
+        re = gain_mult * np.sin(ang).sum(axis=0)
+        im = gain_mult * np.cos(ang).sum(axis=0)
+        return re.astype(np.float32), im.astype(np.float32)
+
+    def retune(self, center_freq, sample_rate, gain) -> bool:
+        self.center_freq = center_freq
+        self.sample_rate = sample_rate
+        self.gain = gain
+        return True
+
+    def close(self):
+        pass
+
+
+class FlakySource:
+    """Fault-injection wrapper: fails every k-th retune, mirroring the
+    reference's recovery contract where ``sdr_setup`` returns ``bOk=False``
+    and the scan substitutes a sentinel band (kspecanal.py:296-308,635-639).
+    """
+
+    def __init__(self, inner: IQSource, fail_every: int = 3):
+        self._inner = inner
+        self._fail_every = fail_every
+        self._n = 0
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+    def read(self, n: int) -> Planes:
+        return self._inner.read(n)
+
+    def retune(self, center_freq, sample_rate, gain) -> bool:
+        self._n += 1
+        if self._fail_every and self._n % self._fail_every == 0:
+            return False
+        return self._inner.retune(center_freq, sample_rate, gain)
+
+    def close(self):
+        self._inner.close()
+
+
+class RtlSdrSource:
+    """Live hardware adapter (optional): wraps pyrtlsdr with the reference's
+    HAL semantics — settle-flush of 16*1024 samples after retune
+    (kspecanal.py:301), chunked reads of SDR_READ_UNIT with pow2 rounding of
+    the tail (kspecanal.py:312-347), and failure -> recreate + False
+    (kspecanal.py:296-308).  Gated: importing rtlsdr is deferred so the
+    framework runs without the dependency.
+    """
+
+    def __init__(self, center_freq: float = 92e6, sample_rate: float = 2.4e6,
+                 gain: float = 19.1):
+        import rtlsdr  # deferred: optional hardware dependency
+        self._rtlsdr = rtlsdr
+        self._sdr = rtlsdr.RtlSdr()
+        self.center_freq = center_freq
+        self.sample_rate = sample_rate
+        self.gain = gain
+        self.retune(center_freq, sample_rate, gain)
+
+    def retune(self, center_freq, sample_rate, gain) -> bool:
+        try:
+            self._sdr.sample_rate = sample_rate
+            self._sdr.center_freq = center_freq
+            self._sdr.gain = gain
+            self._sdr.read_samples(16 * 1024)  # settle flush
+            ok = True
+        except Exception:
+            self._sdr.close()
+            self._sdr = self._rtlsdr.RtlSdr()
+            ok = False
+        self.center_freq = center_freq
+        self.sample_rate = sample_rate
+        self.gain = gain
+        return ok
+
+    def read(self, n: int) -> Planes:
+        out = np.empty(n, np.complex128)
+        pos = 0
+        while pos < n:
+            want = min(SDR_READ_UNIT, n - pos)
+            rd = 2 ** int(math.ceil(math.log2(want)))
+            out[pos:pos + want] = self._sdr.read_samples(rd)[:want]
+            pos += want
+        return (out.real.astype(np.float32), out.imag.astype(np.float32))
+
+    def close(self):
+        self._sdr.close()

@@ -125,8 +125,8 @@ def psd_welch(iq_re: jax.Array, iq_im: jax.Array, cfg: SpecConfig) -> jax.Array:
     fre = frame_signal(iq_re, starts, n)
     fim = frame_signal(iq_im, starts, n)
     win = jnp.asarray(window_lut(cfg.window, n), fre.dtype)
-    z = (fre - jnp.mean(fre, axis=-1, keepdims=True)) * win + 1j * (
-        fim - jnp.mean(fim, axis=-1, keepdims=True)) * win
+    # mlab.psd's default detrend is 'none', so frames are windowed as-is.
+    z = fre * win + 1j * (fim * win)
     spec = jnp.fft.fft(z, axis=-1)
     pxx = jnp.mean(jnp.abs(spec) ** 2, axis=0)
     fs = 2.0  # mlab default when Fs is unspecified (kspecanal.py:381)
