@@ -1,0 +1,267 @@
+"""Scan mode: stepped multi-band sweep with overlap-averaged stitching
+(the reference's ``scan_range`` / ``_scan_range``, kspecanal.py:568-732).
+
+TPU-first structure:
+  * All per-band curscans in a sweep are independent -> they run as ONE
+    batched device call over a ``(num_bands, full_size)`` IQ block
+    (``curscan_batched``), instead of the reference's serial
+    retune -> scan -> plot per band.
+  * The order-dependent stitch (RAW copy of the new half-band then
+    overlap-AVG with the previous band, kspecanal.py:642-650) has a fully
+    static index plan precomputed from the config (``ScanPlan``); the
+    stitch itself is a jitted fold over bands with static slice sizes.
+  * Retune failures fill the band with ones ~ -25 dB sentinel and the sweep
+    continues, keeping shapes stable (kspecanal.py:635-639,
+    README.rst:368-370) — mirrored for failed shards in the distributed
+    path (SURVEY.md §5 failure detection).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kspecanal_tpu.config import (CUMU_AVG, CUMU_MAX, CUMU_MIN, CUMU_RAW,
+                                  HEATMAP_ROWS, SpecConfig)
+from kspecanal_tpu.ops import dsp
+from kspecanal_tpu.ops.spectrum import curscan_batched
+
+
+@dataclasses.dataclass(frozen=True)
+class BandPlan:
+    """Static stitch indices for one band (kspecanal.py:621-668)."""
+    center_freq: float
+    i_start: int     # global grid write start for Max/Min/Avg
+    i_end: int       # iStart + fftSize (clamped source length via s_end)
+    i_done: int      # int((i+1)*fftSize*scanRangeNonOverlap)
+    i_old_end: int   # previous band's iEnd (0 for first band)
+    s_start: int     # source slice start (always 0 in the reference)
+    s_end: int       # source slice end (shrinks if band pokes past grid)
+    s_raw_start: int  # source start of the fresh (non-overlap) region
+
+
+@dataclasses.dataclass(frozen=True)
+class ScanPlan:
+    """Whole-sweep static plan derived purely from the config."""
+    bands: Tuple[BandPlan, ...]
+    total_entries: int
+    num_groups: int
+    freqs_all: Tuple[float, ...]  # global stitched frequency axis
+
+    @property
+    def num_bands(self) -> int:
+        return len(self.bands)
+
+    @property
+    def uniform(self) -> bool:
+        """True when every band after the first has identical slice
+        geometry (always the case for scanRangeNonOverlap=0.5 presets) —
+        enables the lax.scan fast path for huge sweeps (quickFullScan has
+        1000+ bands; unrolling would explode compile time)."""
+        if self.num_bands < 3:
+            return False
+        b1 = self.bands[1]
+        step = self.bands[2].i_start - b1.i_start
+        for k, b in enumerate(self.bands[1:]):
+            if (b.i_start != b1.i_start + (k) * step
+                    or b.i_end - b.i_start != b1.i_end - b1.i_start
+                    or b.i_done - b.i_start != b1.i_done - b1.i_start
+                    or b.i_old_end - b.i_start != b1.i_old_end - b1.i_start
+                    or b.s_start != b1.s_start or b.s_end != b1.s_end
+                    or b.s_raw_start != b1.s_raw_start):
+                return False
+        return True
+
+
+def make_scan_plan(cfg: SpecConfig) -> ScanPlan:
+    """Precompute the reference's band-loop index math
+    (kspecanal.py:594-650 and the freq axis at :609)."""
+    cfg.validate_scan()
+    assert cfg.start_freq is not None and cfg.end_freq is not None
+    span = cfg.sampling_rate
+    f = cfg.fft_size
+    num_groups = cfg.scan_num_groups
+    total = num_groups * f
+    freqs_all = np.fft.fftshift(
+        np.fft.fftfreq(total, 1.0 / (num_groups * span))
+        + cfg.start_freq + (num_groups * span) / 2)
+
+    bands = []
+    cur_freq = cfg.start_freq + span / 2
+    start_freq = cur_freq - span / 2
+    i = 0
+    i_old_end = 0
+    while start_freq < cfg.end_freq:
+        i_start = int(i * f * cfg.scan_range_non_overlap)
+        i_end = i_start + f
+        i_done = int((i + 1) * f * cfg.scan_range_non_overlap)
+        s_start = 0
+        if i_end > total:
+            s_end = i_end - i_start - (i_end - total)
+        else:
+            s_end = i_end - i_start
+        # sRawStart = sStart + (fftSize - (iEnd - iOldEnd))  :643
+        s_raw_start = s_start + (f - (i_end - i_old_end))
+        clamped_old_end = min(i_old_end, total)
+        bands.append(BandPlan(
+            center_freq=cur_freq, i_start=i_start, i_end=i_end,
+            i_done=min(i_done, total), i_old_end=clamped_old_end,
+            s_start=s_start, s_end=s_end, s_raw_start=s_raw_start))
+        i_old_end = i_end
+        cur_freq += span * cfg.scan_range_non_overlap
+        start_freq = cur_freq - span / 2
+        i += 1
+    # The band frequency axes overwrite overlapping segments of the global
+    # axis (kspecanal.py:631-634); reproduce that exactly.
+    fa = np.array(freqs_all)
+    for b in bands:
+        bf = np.fft.fftshift(
+            np.fft.fftfreq(f, 1.0 / cfg.sampling_rate) + b.center_freq)
+        fa[b.i_start:b.i_start + (b.s_end - b.s_start)] = bf[b.s_start:b.s_end]
+    return ScanPlan(bands=tuple(bands), total_entries=total,
+                    num_groups=num_groups, freqs_all=tuple(fa.tolist()))
+
+
+class ScanState(NamedTuple):
+    """Global stitched curves over the whole scan range (dB domain) +
+    per-sweep waterfall ring (kspecanal.py:602-614)."""
+    fft_max: jax.Array      # (total_entries,)
+    fft_min: jax.Array
+    fft_avg: jax.Array
+    fft_cur: jax.Array
+    heatmap: jax.Array      # (HEATMAP_ROWS, hm_width)
+    hm_index: jax.Array
+    sweep: jax.Array        # int32: completed sweep count (runCount)
+
+
+class ScanView(NamedTuple):
+    x_freqs: jax.Array
+    max_lvls: jax.Array
+    min_lvls: jax.Array
+    avg_lvls: jax.Array
+    cur_lvls: jax.Array
+    heatmap: jax.Array
+
+
+def init_state(cfg: SpecConfig, plan: ScanPlan) -> ScanState:
+    """Seed buffers exactly as the first `_scan_range` call does
+    (kspecanal.py:602-614): Cur/Max/Avg = disp(minAmp4Clip), Min = disp(1),
+    heatmap rows = compress(disp-domain minAmp4Clip)... the reference seeds
+    the heatmap with RAW minAmp4Clip (linear!) compressed — reproduced."""
+    total = plan.total_entries
+    disp_floor = float(10 * np.log10(cfg.min_amp4clip) - cfg.gain)
+    disp_one = float(0.0 - cfg.gain)  # 10*log10(1) - gain
+    hm_w = len(np.asarray(dsp.compress_1d(
+        jnp.zeros(total), cfg.plt_compress_hm, cfg.x_res)))
+    return ScanState(
+        fft_max=jnp.full(total, disp_floor, jnp.float32),
+        fft_min=jnp.full(total, disp_one, jnp.float32),
+        fft_avg=jnp.full(total, disp_floor, jnp.float32),
+        fft_cur=jnp.full(total, disp_floor, jnp.float32),
+        # hmData = ones * minAmp4Clip, then 2d-compressed (kspecanal.py:613-614)
+        heatmap=jnp.full((HEATMAP_ROWS, hm_w), float(cfg.min_amp4clip),
+                         jnp.float32),
+        hm_index=jnp.zeros((), jnp.int32),
+        sweep=jnp.zeros((), jnp.int32),
+    )
+
+
+def band_spectra(iq_re: jax.Array, iq_im: jax.Array, retune_ok: jax.Array,
+                 cfg: SpecConfig) -> jax.Array:
+    """Batched per-band display spectra for one sweep.
+
+    iq_*: (num_bands, full_size); retune_ok: (num_bands,) bool.
+    Returns (num_bands, fft_size) dB spectra after the scan display chain:
+    curscan -> sentinel substitution -> Clip2MinAmp -> LogNoGain(infTo=0)
+    (kspecanal.py:635-641)."""
+    lin = curscan_batched(iq_re, iq_im, cfg)
+    # Failed retune -> all-ones band (~ -gain dB marker) kspecanal.py:637-639
+    lin = jnp.where(retune_ok[:, None], lin, jnp.ones_like(lin))
+    clip = cfg.scan_clip_proc
+    if clip == "Clip2MinAmp":
+        lin = dsp.clip2minamp(lin, cfg.min_amp4clip)
+    elif clip == "HistLowClip":
+        lin = jax.vmap(dsp.hist_low_clip)(lin)
+    return dsp.fftvals_dispproc(lin, cfg.scan_disp_proc, gain=cfg.gain,
+                                inf_to=0.0)
+
+
+def stitch_sweep(state: ScanState, spectra_db: jax.Array, cfg: SpecConfig,
+                 plan: ScanPlan) -> ScanState:
+    """Fold one sweep's band spectra into the global stitched curves.
+
+    Reproduces the order-dependent merge of kspecanal.py:642-668:
+      Cur:  RAW copy of [iOldEnd:iEnd] then AVG over overlap [iStart:iOldEnd]
+      Max/Min/Avg: cumulated over [iStart:iDone] from stitched Cur (default)
+                   or from the raw band spectrum (bScanRangeBaseDataIsRaw);
+                   first sweep (runCount==0) uses RAW for Avg (:615-618).
+    """
+    first_sweep = state.sweep == 0
+    cur, fmax, fmin, favg = (state.fft_cur, state.fft_max,
+                             state.fft_min, state.fft_avg)
+    for bi, b in enumerate(plan.bands):
+        pr = spectra_db[bi]
+        # --- Cur stitch (:642-650)
+        cur = dsp.cumulate_range(CUMU_RAW, cur, b.i_old_end, b.i_end,
+                                 pr, b.s_raw_start, b.s_end)
+        if b.i_old_end != 0 and b.i_old_end > b.i_start:
+            s_avg_end = b.s_start + (b.i_old_end - b.i_start)
+            cur = dsp.cumulate_range(CUMU_AVG, cur, b.i_start, b.i_old_end,
+                                     pr, b.s_start, s_avg_end)
+        # --- Max/Min/Avg source selection (:651-662)
+        if cfg.b_scan_range_base_data_is_raw:
+            src, s0, s1 = pr, b.s_start, b.s_end
+            # dest [iStart:iEnd] truncates in numpy when iEnd > grid end;
+            # keep lengths equal to the (already shrunk) source slice.
+            d0, d1 = b.i_start, b.i_start + (b.s_end - b.s_start)
+        else:
+            src, s0, s1 = cur, b.i_start, b.i_done
+            d0, d1 = b.i_start, b.i_done
+        if cfg.b_data_max:
+            fmax = dsp.cumulate_range(CUMU_MAX, fmax, d0, d1, src, s0, s1)
+        if cfg.b_data_min:
+            fmin = dsp.cumulate_range(CUMU_MIN, fmin, d0, d1, src, s0, s1)
+        # Avg always maintained (`if d['bDataAvg'] or True`, :667)
+        seg_new = jax.lax.slice_in_dim(src, s0, s1)
+        seg_cur = jax.lax.slice_in_dim(favg, d0, d1)
+        seg = jnp.where(first_sweep, seg_new, (seg_cur + seg_new) / 2.0)
+        favg = jax.lax.dynamic_update_slice_in_dim(favg, seg, d0, axis=0)
+    # Heatmap row from compressed Avg, once per sweep (:696-697)
+    row = dsp.compress_1d(favg, cfg.plt_compress_hm, cfg.x_res)
+    heatmap = state.heatmap.at[state.hm_index].set(row)
+    hm_index = (state.hm_index + 1) % HEATMAP_ROWS
+    return ScanState(fmax, fmin, favg, cur, heatmap, hm_index,
+                     state.sweep + 1)
+
+
+def scan_view(state: ScanState, cfg: SpecConfig, plan: ScanPlan,
+              adj: Optional[jax.Array] = None) -> ScanView:
+    """Display products (kspecanal.py:669-688)."""
+    freqs = jnp.asarray(np.asarray(plan.freqs_all, np.float32))
+    if adj is not None:
+        a = (state.fft_max - adj, state.fft_min - adj,
+             state.fft_avg - adj, state.fft_cur - adj)
+    else:
+        a = (state.fft_max, state.fft_min, state.fft_avg, state.fft_cur)
+    x, max_l = dsp.compress_xy(freqs, a[0], cfg.plt_compress, cfg.x_res)
+    _, min_l = dsp.compress_xy(freqs, a[1], cfg.plt_compress, cfg.x_res)
+    _, avg_l = dsp.compress_xy(freqs, a[2], cfg.plt_compress, cfg.x_res)
+    _, cur_l = dsp.compress_xy(freqs, a[3], cfg.plt_compress, cfg.x_res)
+    return ScanView(x, max_l, min_l, avg_l, cur_l, state.heatmap)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "plan"))
+def sweep_step_jit(state: ScanState, iq_re, iq_im, retune_ok,
+                   cfg: SpecConfig, plan: ScanPlan) -> ScanState:
+    """One full sweep on-device: batched band spectra + stitch fold."""
+    spectra = band_spectra(iq_re, iq_im, retune_ok, cfg)
+    return stitch_sweep(state, spectra, cfg, plan)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "plan"))
+def scan_view_jit(state, cfg: SpecConfig, plan: ScanPlan):
+    return scan_view(state, cfg, plan)

@@ -1,0 +1,167 @@
+"""Zero-span mode: repeatedly scan one band, accumulate max/min/avg/cur
+curves and a waterfall heatmap ring (the reference's ``zero_span`` loop,
+kspecanal.py:426-506).
+
+TPU-first structure: the whole per-iteration update — curscan, display
+transform, curve cumulation, baseline adjust, heatmap row compress + ring
+write, level-curve compress — is ONE jitted pure function
+``(state, iq) -> (state', view)``.  The reference interleaves this math
+with matplotlib calls inside a Python loop; here the host shell only feeds
+IQ blocks in and hands views to a renderer, so the device pipeline never
+stalls on the GUI (the reference's dominant cost, README.rst:430-438).
+
+State is a NamedTuple pytree; curve enable flags and all geometry are
+static (from the frozen config), so there is no data-dependent control
+flow under jit.  GUI toggles rebuild the step with a new config (one
+recompile per toggle, cached thereafter).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kspecanal_tpu.config import HEATMAP_ROWS, SpecConfig
+from kspecanal_tpu.ops import dsp
+from kspecanal_tpu.ops.spectrum import curscan
+
+
+class ZeroSpanState(NamedTuple):
+    """Accumulated curves (dB domain, post display transform) + waterfall.
+
+    ``iteration == 0`` encodes the reference's ``Fft.* = None`` first-copy
+    semantics (kspecanal.py:439-442 with data_cumu's None branch :133-134).
+    """
+    fft_max: jax.Array      # (fft_size,)
+    fft_min: jax.Array
+    fft_avg: jax.Array
+    fft_cur: jax.Array
+    heatmap: jax.Array      # (HEATMAP_ROWS, hm_width) ring buffer
+    hm_index: jax.Array     # int32 scalar: next row to write
+    iteration: jax.Array    # int32 scalar
+
+
+class ZeroSpanView(NamedTuple):
+    """Per-iteration display products (what the render layer consumes)."""
+    x_freqs: jax.Array      # (x_res,) compressed frequency axis
+    max_lvls: jax.Array     # (x_res,) compressed curves (dB)
+    min_lvls: jax.Array
+    avg_lvls: jax.Array
+    cur_lvls: jax.Array
+    heatmap: jax.Array      # (HEATMAP_ROWS, hm_width)
+    spectrum: jax.Array     # (fft_size,) linear pre-log cumulated magnitudes
+                            # (what zeroSpanSave records, kspecanal.py:523-525)
+
+
+def init_state(cfg: SpecConfig) -> ZeroSpanState:
+    n = cfg.fft_size
+    w = dsp.heatmap_width(n, cfg.x_res, cfg.plt_compress_hm)
+    z = jnp.zeros(n, jnp.float32)
+    return ZeroSpanState(
+        fft_max=z, fft_min=z, fft_avg=z, fft_cur=z,
+        heatmap=jnp.zeros((HEATMAP_ROWS, w), jnp.float32),
+        hm_index=jnp.zeros((), jnp.int32),
+        iteration=jnp.zeros((), jnp.int32),
+    )
+
+
+def display_update(state: ZeroSpanState, spectrum_linear: jax.Array,
+                   cfg: SpecConfig,
+                   adj: Optional[jax.Array] = None):
+    """Everything after curscan in one zero-span iteration
+    (kspecanal.py:469-504): display transform, curve cumulation, baseline
+    subtraction, heatmap ring write, level compression.
+
+    ``spectrum_linear`` is the linear fftshifted cumulated magnitude vector
+    (curscan output or a replayed frame).  ``adj`` is the optional signal-
+    level baseline (``Fft.Adj``, kspecanal.py:400-411).
+    """
+    first = state.iteration == 0
+    # LogNoGain with NO inf replacement (zero_span passes infTo=None,
+    # kspecanal.py:469).
+    fft_pr = dsp.log_no_gain(spectrum_linear.astype(jnp.float32), cfg.gain)
+
+    def cumu(cur, mode, enabled):
+        if not enabled:
+            return cur
+        new = dsp.cumulate(mode, cur, fft_pr)
+        return jnp.where(first, fft_pr, new)
+
+    fft_max = cumu(state.fft_max, "MAX", cfg.b_data_max)
+    fft_min = cumu(state.fft_min, "MIN", cfg.b_data_min)
+    fft_avg = cumu(state.fft_avg, "AVG", cfg.b_data_avg)
+    fft_cur = fft_pr
+
+    if adj is not None:
+        a_max, a_min, a_avg, a_cur = (fft_max - adj, fft_min - adj,
+                                      fft_avg - adj, fft_cur - adj)
+    else:
+        a_max, a_min, a_avg, a_cur = fft_max, fft_min, fft_avg, fft_cur
+
+    # Heatmap row: compressed adjusted Cur (kspecanal.py:479-484).
+    row = dsp.compress_1d(a_cur, cfg.plt_compress_hm, cfg.x_res)
+    heatmap = state.heatmap.at[state.hm_index].set(row)
+    hm_index = (state.hm_index + 1) % HEATMAP_ROWS
+
+    freqs = jnp.asarray(
+        np.fft.fftshift(np.fft.fftfreq(cfg.fft_size, 1.0 / cfg.sampling_rate)
+                        + cfg.center_freq).astype(np.float32))
+    x_freqs, max_l = dsp.compress_xy(freqs, a_max, cfg.plt_compress, cfg.x_res)
+    _, min_l = dsp.compress_xy(freqs, a_min, cfg.plt_compress, cfg.x_res)
+    _, avg_l = dsp.compress_xy(freqs, a_avg, cfg.plt_compress, cfg.x_res)
+    _, cur_l = dsp.compress_xy(freqs, a_cur, cfg.plt_compress, cfg.x_res)
+
+    new_state = ZeroSpanState(fft_max, fft_min, fft_avg, fft_cur,
+                              heatmap, hm_index, state.iteration + 1)
+    view = ZeroSpanView(x_freqs, max_l, min_l, avg_l, cur_l, heatmap,
+                        spectrum_linear)
+    return new_state, view
+
+
+def zero_span_step(state: ZeroSpanState, iq_re: jax.Array, iq_im: jax.Array,
+                   cfg: SpecConfig, adj: Optional[jax.Array] = None):
+    """One full zero-span iteration from raw IQ: curscan + display update
+    (the body of the loop at kspecanal.py:460-505)."""
+    spectrum = curscan(iq_re, iq_im, cfg)
+    return display_update(state, spectrum, cfg, adj)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def zero_span_step_jit(state, iq_re, iq_im, cfg: SpecConfig):
+    return zero_span_step(state, iq_re, iq_im, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def zero_span_step_adj_jit(state, iq_re, iq_im, adj, cfg: SpecConfig):
+    return zero_span_step(state, iq_re, iq_im, cfg, adj)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def display_update_jit(state, spectrum_linear, cfg: SpecConfig):
+    return display_update(state, spectrum_linear, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def display_update_adj_jit(state, spectrum_linear, adj, cfg: SpecConfig):
+    return display_update(state, spectrum_linear, cfg, adj)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "num_steps"))
+def zero_span_multi_step_jit(state, iq_re, iq_im, cfg: SpecConfig,
+                             num_steps: int):
+    """Process ``num_steps`` IQ blocks in one device call via lax.scan —
+    the throughput path (record mode / benchmarks), amortizing dispatch.
+
+    iq_re/iq_im: ``(num_steps, full_size)``.  Returns the final state plus
+    the per-step linear spectra ``(num_steps, fft_size)`` (the record-mode
+    payload, kspecanal.py:523-525).
+    """
+    def body(st, blk):
+        st2, view = zero_span_step(st, blk[0], blk[1], cfg)
+        return st2, view.spectrum
+
+    blocks = jnp.stack([iq_re, iq_im], axis=1)
+    return jax.lax.scan(body, state, blocks)

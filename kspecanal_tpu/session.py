@@ -1,0 +1,240 @@
+"""Session drivers: the mode state machines of ``do_run``
+(kspecanal.py:1126-1136) as host shells around the jitted device pipeline.
+
+Each driver pumps an IQ source into the device step functions and hands
+display views to an optional renderer callback.  Cooperative stop mirrors
+the reference's ``cmd.stop`` flag checked at loop tops
+(kspecanal.py:465,518,720); SIGINT wiring lives in cli.py.
+
+The renderer receives host-side numpy views only at the cadence it asks
+for — the device pipeline never blocks on drawing (the reference's main
+performance cliff, README.rst:430-438).
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Iterator, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from kspecanal_tpu.config import MODE_SCAN, MODE_ZEROSPAN, SpecConfig
+from kspecanal_tpu.io.replay import (ZeroSpanPlayer, ZeroSpanRecorder,
+                                     load_sig_lvls, save_sig_lvls)
+from kspecanal_tpu.io.sources import IQSource
+from kspecanal_tpu.models import scan as scan_mod
+from kspecanal_tpu.models import zerospan as zs
+from kspecanal_tpu.ops.peaks import find_peaks
+from kspecanal_tpu.utils.logging import log_info, log_warn
+
+
+class Session:
+    """Holds run state shared by all modes: config, source, baseline,
+    stop flag, timing trace."""
+
+    def __init__(self, cfg: SpecConfig, source: Optional[IQSource] = None,
+                 renderer: Optional[Callable] = None):
+        self.cfg = cfg
+        self.source = source
+        self.renderer = renderer
+        self.stop = False            # cmd.stop analog (kspecanal.py:970)
+        self.adj: Optional[np.ndarray] = None   # Fft.Adj baseline
+        self.final_avg: Optional[np.ndarray] = None
+        self.iter_times: list = []
+        if cfg.adj_sig_lvls:
+            self._load_baseline()
+
+    # -- baseline handling (kspecanal.py:736-768, :400-411) --------------
+    def _load_baseline(self):
+        cfg = self.cfg
+        try:
+            start, end, avg = load_sig_lvls(cfg.adj_sig_lvls)
+        except Exception:
+            log_warn(f"_load_siglvls: Failed... {cfg.adj_sig_lvls}")
+            self.cfg = dataclasses.replace(cfg, adj_sig_lvls="")
+            return
+        if (start == cfg.start_freq) and (end == cfg.end_freq):
+            log_info(f"_load_siglvls: success... {cfg.adj_sig_lvls}")
+            self.adj = np.asarray(avg, np.float32)
+        else:
+            log_warn(f"_load_siglvls: savedRange[{start}-{end}] != "
+                     f"curFreqRange[{cfg.start_freq}-{cfg.end_freq}]; disabled")
+
+    def save_baseline(self):
+        if self.cfg.save_sig_lvls and self.final_avg is not None:
+            save_sig_lvls(self.cfg.save_sig_lvls, self.cfg.start_freq,
+                          self.cfg.end_freq, self.final_avg)
+            log_info(f"_save_siglvls: success... {self.cfg.save_sig_lvls}")
+
+    def _emit(self, view, iteration: int, timestamp_str: Optional[str] = None):
+        if self.renderer is None:
+            return
+        peaks = find_peaks(np.asarray(view.x_freqs), np.asarray(view.cur_lvls),
+                           self.cfg.plt_highs_num_markers,
+                           self.cfg.plt_highs_delta4marking)
+        self.renderer(self, view, peaks, iteration, timestamp_str)
+
+
+# ---------------------------------------------------------------------------
+# Zero-span (kspecanal.py:426-506)
+# ---------------------------------------------------------------------------
+
+def run_zero_span(sess: Session, max_iters: Optional[int] = None
+                  ) -> zs.ZeroSpanState:
+    cfg = sess.cfg
+    assert sess.source is not None
+    sess.source.retune(cfg.center_freq, cfg.sampling_rate, cfg.gain)
+    state = zs.init_state(cfg)
+    adj = None if sess.adj is None else jnp.asarray(sess.adj)
+    n = cfg.prg_loop_cnt if max_iters is None else max_iters
+    prev = time.time()
+    for i in range(n):
+        if sess.stop:
+            break
+        cur = time.time()
+        sess.iter_times.append(cur - prev)
+        prev = cur
+        re, im = sess.source.read(cfg.full_size)
+        if adj is None:
+            state, view = zs.zero_span_step_jit(
+                state, jnp.asarray(re), jnp.asarray(im), cfg)
+        else:
+            state, view = zs.zero_span_step_adj_jit(
+                state, jnp.asarray(re), jnp.asarray(im), adj, cfg)
+        sess._emit(view, i)
+    sess.final_avg = np.asarray(state.fft_avg, np.float64)
+    return state
+
+
+def run_zero_span_save(sess: Session, max_iters: Optional[int] = None) -> int:
+    """Record mode (kspecanal.py:509-526): no display work at all — the
+    reference skips plotting to sample more often (README.rst:260-263);
+    here the spectra additionally batch through one lax.scan device call
+    per chunk for throughput."""
+    cfg = sess.cfg
+    assert sess.source is not None
+    sess.source.retune(cfg.center_freq, cfg.sampling_rate, cfg.gain)
+    n = cfg.prg_loop_cnt if max_iters is None else max_iters
+    chunk = 8  # device steps per dispatch
+    state = zs.init_state(cfg)
+    written = 0
+    with ZeroSpanRecorder(cfg.zero_span_save_file, cfg.center_freq,
+                          cfg.sampling_rate, cfg.gain) as rec:
+        while written < n and not sess.stop:
+            k = min(chunk, n - written)
+            blocks = [sess.source.read(cfg.full_size) for _ in range(k)]
+            re = jnp.asarray(np.stack([b[0] for b in blocks]))
+            im = jnp.asarray(np.stack([b[1] for b in blocks]))
+            state, spectra = zs.zero_span_multi_step_jit(state, re, im, cfg, k)
+            now = time.time()
+            for j, spec in enumerate(np.asarray(spectra, np.float64)):
+                rec.append(spec, timestamp=now)
+            written += k
+    return written
+
+
+def run_zero_span_play(sess: Session, max_iters: Optional[int] = None
+                       ) -> zs.ZeroSpanState:
+    """Replay mode (kspecanal.py:530-564): frames are pre-computed linear
+    spectra, so only the display half of the step runs.  The file header
+    overrides fC/fS/gain with a warning (kspecanal.py:536-542)."""
+    cfg = sess.cfg
+    player = ZeroSpanPlayer(cfg.zero_span_play_file)
+    h = player.header
+    if (h.center_freq != cfg.center_freq
+            or h.sampling_rate != cfg.sampling_rate or h.gain != cfg.gain):
+        log_warn(f"zeroSpanPlay:updating: fC[{h.center_freq}] "
+                 f"fS[{h.sampling_rate}] gain[{h.gain}]")
+    cfg = sess.cfg = dataclasses.replace(
+        cfg, prg_mode=MODE_ZEROSPAN, center_freq=h.center_freq,
+        sampling_rate=h.sampling_rate, gain=h.gain,
+        start_freq=None, end_freq=None).finalize()
+    state = zs.init_state(cfg)
+    adj = None if sess.adj is None else jnp.asarray(sess.adj)
+    n = cfg.prg_loop_cnt if max_iters is None else max_iters
+    with player:
+        for i, (ts, frame) in enumerate(player.frames()):
+            if i >= n or sess.stop:
+                break
+            spec = jnp.asarray(np.asarray(frame, np.float32))
+            if adj is None:
+                state, view = zs.display_update_jit(state, spec, cfg)
+            else:
+                state, view = zs.display_update_adj_jit(state, spec, adj, cfg)
+            sess._emit(view, i, ZeroSpanPlayer.format_timestamp(ts))
+    sess.final_avg = np.asarray(state.fft_avg, np.float64)
+    return state
+
+
+# ---------------------------------------------------------------------------
+# Scan (kspecanal.py:568-732)
+# ---------------------------------------------------------------------------
+
+def sweep_bands(sess: Session, plan: scan_mod.ScanPlan):
+    """Acquire one sweep's IQ: retune per band, read full_size samples,
+    record retune success (sentinel semantics, kspecanal.py:630-639)."""
+    cfg = sess.cfg
+    res, ims, oks = [], [], []
+    for b in plan.bands:
+        ok = sess.source.retune(b.center_freq, cfg.sampling_rate, cfg.gain)
+        if ok:
+            re, im = sess.source.read(cfg.full_size)
+        else:
+            log_warn(f"_scanRange: Dummy data for "
+                     f"{b.center_freq - cfg.sampling_rate/2} to "
+                     f"{b.center_freq + cfg.sampling_rate/2}")
+            re = np.zeros(cfg.full_size, np.float32)
+            im = np.zeros(cfg.full_size, np.float32)
+        res.append(re); ims.append(im); oks.append(ok)
+    return (jnp.asarray(np.stack(res)), jnp.asarray(np.stack(ims)),
+            jnp.asarray(np.asarray(oks)))
+
+
+def run_scan(sess: Session, max_sweeps: Optional[int] = None
+             ) -> scan_mod.ScanState:
+    cfg = sess.cfg
+    assert sess.source is not None
+    plan = make_plan_cached(cfg)
+    state = scan_mod.init_state(cfg, plan)
+    adj = None if sess.adj is None else jnp.asarray(sess.adj)
+    n = cfg.prg_loop_cnt if max_sweeps is None else max_sweeps
+    prev = time.time()
+    for i in range(n):
+        if sess.stop:
+            break
+        cur = time.time()
+        sess.iter_times.append(cur - prev)
+        prev = cur
+        re, im, oks = sweep_bands(sess, plan)
+        state = scan_mod.sweep_step_jit(state, re, im, oks, cfg, plan)
+        if sess.renderer is not None:
+            view = scan_mod.scan_view(state, cfg, plan, adj)
+            sess._emit(view, i)
+    sess.final_avg = np.asarray(state.fft_avg, np.float64)
+    return state
+
+
+_plan_cache: dict = {}
+
+
+def make_plan_cached(cfg: SpecConfig) -> scan_mod.ScanPlan:
+    plan = _plan_cache.get(cfg)
+    if plan is None:
+        plan = _plan_cache[cfg] = scan_mod.make_scan_plan(cfg)
+    return plan
+
+
+# ---------------------------------------------------------------------------
+# Dispatch (do_run, kspecanal.py:1126-1136)
+# ---------------------------------------------------------------------------
+
+def do_run(sess: Session, max_iters: Optional[int] = None):
+    mode = sess.cfg.prg_mode
+    if mode == MODE_SCAN:
+        return run_scan(sess, max_iters)
+    if mode == "ZEROSPANSAVE":
+        return run_zero_span_save(sess, max_iters)
+    if mode == "ZEROSPANPLAY":
+        return run_zero_span_play(sess, max_iters)
+    return run_zero_span(sess, max_iters)

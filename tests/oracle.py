@@ -120,3 +120,87 @@ def synth_tones(freqs_hz, sample_rate: float, n: int, gain_db: float = 0.0,
     for f in freqs_hz:
         s += gain_mult * (np.sin(2 * np.pi * f * t) + 1j * np.cos(2 * np.pi * f * t))
     return s
+
+
+def oracle_zero_span_iters(spectra_linear, gain: float):
+    """Serial zero-span display loop over pre-computed linear curscan
+    spectra (kspecanal.py:460-478): LogNoGain (no inf replacement), then
+    Max/Min/Avg cumulated with None-first-copy semantics.
+    Returns (fftMax, fftMin, fftAvg, fftCur) in dB."""
+    fmax = fmin = favg = fcur = None
+    for spec in spectra_linear:
+        pr = 10 * np.log10(spec) - gain
+        fcur = pr
+        fmax = pr.copy() if fmax is None else np.maximum(fmax, pr)
+        fmin = pr.copy() if fmin is None else np.minimum(fmin, pr)
+        favg = pr.copy() if favg is None else (favg + pr) / 2
+    return fmax, fmin, favg, fcur
+
+
+def oracle_scan_sweeps(band_spectra_per_sweep, cfg_like):
+    """Serial port of the _scan_range stitch (kspecanal.py:594-668) over
+    pre-computed per-band LINEAR curscan spectra.
+
+    ``band_spectra_per_sweep``: list over sweeps of (num_bands, fft_size)
+    linear spectra.  ``cfg_like`` needs: fft_size, sampling_rate,
+    start_freq, end_freq, scan_range_non_overlap, min_amp4clip, gain,
+    b_scan_range_base_data_is_raw.
+    Returns dict with Cur/Max/Min/Avg arrays (dB domain).
+    """
+    c = cfg_like
+    f = c.fft_size
+    span = c.sampling_rate
+    num_groups = int((c.end_freq - c.start_freq) / span)
+    total = num_groups * f
+
+    def disp(vals):
+        out = 10 * np.log10(vals) - c.gain
+        out[np.isinf(out)] = 0
+        return out
+
+    cur = disp(np.ones(total) * c.min_amp4clip)
+    fmax = cur.copy()
+    favg = cur.copy()
+    fmin = disp(np.ones(total))
+
+    for run_count, spectra in enumerate(band_spectra_per_sweep):
+        cumu4avg = "RAW" if run_count == 0 else "AVG"
+        i = 0
+        i_old_end = 0
+        cur_freq = c.start_freq + span / 2
+        start_freq = cur_freq - span / 2
+        bi = 0
+        while start_freq < c.end_freq:
+            i_start = int(i * f * c.scan_range_non_overlap)
+            i_end = i_start + f
+            i_done = int((i + 1) * f * c.scan_range_non_overlap)
+            s_start = 0
+            s_end = (i_end - i_start - (i_end - total)) if i_end > total \
+                else (i_end - i_start)
+            fft_cur = np.clip(spectra[bi], c.min_amp4clip, None)
+            fft_pr = disp(np.array(fft_cur))
+            # Cur stitch :642-650
+            s_raw_start = s_start + (f - (i_end - i_old_end))
+            cur[i_old_end:i_end] = fft_pr[s_raw_start:s_end]
+            if i_old_end != 0:
+                ioe = min(i_old_end, total)
+                s_avg_end = s_start + (ioe - i_start)
+                cur[i_start:ioe] = (cur[i_start:ioe]
+                                    + fft_pr[s_start:s_avg_end]) / 2
+            i_old_end = i_end
+            # Max/Min/Avg :651-668
+            if c.b_scan_range_base_data_is_raw:
+                src, s0, s1, d0, d1 = fft_pr, s_start, s_end, i_start, i_end
+            else:
+                src, s0, s1, d0, d1 = cur, i_start, i_done, i_start, i_done
+            fmax[d0:d1] = np.maximum(fmax[d0:d1], src[s0:s1])
+            fmin[d0:d1] = np.minimum(fmin[d0:d1], src[s0:s1])
+            if cumu4avg == "RAW":
+                favg[d0:d1] = src[s0:s1]
+            else:
+                favg[d0:d1] = (favg[d0:d1] + src[s0:s1]) / 2
+            cur_freq += span * c.scan_range_non_overlap
+            start_freq = cur_freq - span / 2
+            i += 1
+            bi += 1
+    return {"Cur": cur, "Max": fmax, "Min": fmin, "Avg": favg}

@@ -1,0 +1,197 @@
+"""Mode state machines vs the serial oracles: zero-span curve cumulation,
+record/replay round-trip (the reference's regression harness, SURVEY.md §4.3),
+and the scan-range overlap stitch."""
+import dataclasses
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from kspecanal_tpu.config import (MODE_SCAN, SpecConfig, WINDOW_HANNING,
+                                  window_lut)
+from kspecanal_tpu.io.replay import ZeroSpanPlayer, ZeroSpanRecorder
+from kspecanal_tpu.io.sources import FlakySource, SynthIQSource
+from kspecanal_tpu.models import scan as scan_mod
+from kspecanal_tpu.models import zerospan as zs
+from kspecanal_tpu import session as sess_mod
+from oracle import (oracle_curscan, oracle_scan_sweeps,
+                    oracle_zero_span_iters)
+
+
+def zs_cfg(**kw):
+    base = dict(prg_mode="ZEROSPAN", fft_size=256, sampling_rate=2.4e6,
+                window=WINDOW_HANNING, cur_scan_non_overlap=0.5,
+                x_res=256)
+    base.update(kw)
+    return SpecConfig(**base).finalize()
+
+
+def test_zero_span_curves_match_oracle(rng):
+    cfg = zs_cfg()
+    blocks = [(rng.standard_normal(cfg.full_size)
+               + 1j * rng.standard_normal(cfg.full_size)) for _ in range(7)]
+    # Device path
+    state = zs.init_state(cfg)
+    for b in blocks:
+        state, view = zs.zero_span_step_jit(
+            state, jnp.asarray(b.real, jnp.float32),
+            jnp.asarray(b.imag, jnp.float32), cfg)
+    # Oracle path: serial curscans then serial display cumulation
+    win = window_lut(cfg.window, cfg.fft_size)
+    specs = [oracle_curscan(b, cfg.fft_size, cfg.cur_scan_non_overlap, win,
+                            cfg.cur_scan_cumu_mode) for b in blocks]
+    fmax, fmin, favg, fcur = oracle_zero_span_iters(specs, cfg.gain)
+    np.testing.assert_allclose(np.asarray(state.fft_max), fmax, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(state.fft_min), fmin, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(state.fft_avg), favg, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(state.fft_cur), fcur, atol=2e-3)
+    # Heatmap ring advanced 7 rows
+    assert int(state.hm_index) == 7
+    assert int(state.iteration) == 7
+
+
+def test_heatmap_ring_wraps(rng):
+    cfg = zs_cfg(fft_size=64, x_res=64)
+    state = zs.init_state(cfg)
+    b = rng.standard_normal(cfg.full_size) + 1j * rng.standard_normal(cfg.full_size)
+    re, im = jnp.asarray(b.real, jnp.float32), jnp.asarray(b.imag, jnp.float32)
+    for i in range(130):
+        state, _ = zs.zero_span_step_jit(state, re, im, cfg)
+    assert int(state.hm_index) == 130 % 128
+    assert int(state.iteration) == 130
+
+
+def test_record_replay_roundtrip(tmp_path, rng):
+    """zeroSpanSave then zeroSpanPlay must rebuild identical curves — the
+    reference's deterministic regression mechanism (kspecanal.py:509-564)."""
+    save_file = str(tmp_path / "session.zerospansave")
+    cfg = zs_cfg(zero_span_save_file=save_file, zero_span_play_file=save_file,
+                 prg_mode="ZEROSPANSAVE")
+    src = SynthIQSource(center_freq=cfg.center_freq,
+                        sample_rate=cfg.sampling_rate, gain=0.5, seed=7)
+    sess = sess_mod.Session(cfg, src)
+    n = sess_mod.run_zero_span_save(sess, max_iters=5)
+    assert n == 5
+
+    # Header round-trip
+    player = ZeroSpanPlayer(save_file)
+    assert player.header.center_freq == cfg.center_freq
+    assert player.header.sampling_rate == cfg.sampling_rate
+    assert player.header.gain == cfg.gain
+    frames = list(player.frames())
+    player.close()
+    assert len(frames) == 5
+    assert frames[0][1].shape == (cfg.fft_size,)
+
+    # Play mode reconstructs the zero-span state from the recorded frames.
+    views = []
+    play_cfg = dataclasses.replace(cfg, prg_mode="ZEROSPANPLAY")
+    sess2 = sess_mod.Session(
+        play_cfg, None,
+        renderer=lambda s, v, p, i, ts: views.append((v, ts)))
+    state = sess_mod.run_zero_span_play(sess2)
+    assert int(state.iteration) == 5
+    # Oracle from the recorded linear spectra
+    fmax, fmin, favg, fcur = oracle_zero_span_iters(
+        [f[1] for f in frames], cfg.gain)
+    np.testing.assert_allclose(np.asarray(state.fft_avg), favg, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(state.fft_max), fmax, atol=2e-3)
+    assert len(views) == 5
+    assert views[0][1] is not None  # timestamp string present
+
+
+def scan_cfg(**kw):
+    base = dict(prg_mode=MODE_SCAN, start_freq=88e6, end_freq=96e6,
+                sampling_rate=2e6, fft_size=128, x_res=128,
+                window=WINDOW_HANNING, cur_scan_non_overlap=0.5,
+                scan_range_non_overlap=0.5)
+    base.update(kw)
+    return SpecConfig(**base).finalize()
+
+
+def test_scan_plan_geometry():
+    cfg = scan_cfg()
+    plan = scan_mod.make_scan_plan(cfg)
+    # 4 groups of 2 MHz over 88-96; overlap 0.5 -> the reference's while
+    # loop runs 8 bands (the last pokes past the grid and its source slice
+    # shrinks, kspecanal.py:626-629).
+    assert plan.num_groups == 4
+    assert plan.total_entries == 4 * 128
+    assert plan.num_bands == 8
+    b0, b1 = plan.bands[0], plan.bands[1]
+    assert (b0.i_start, b0.i_end, b0.i_old_end) == (0, 128, 0)
+    assert (b1.i_start, b1.i_end, b1.i_old_end) == (64, 192, 128)
+    last = plan.bands[-1]
+    assert last.i_start == 448 and last.i_end == 576
+    assert last.s_end == plan.total_entries - last.i_start  # shrunk to 64
+    # Band centers step by fS/2
+    assert plan.bands[0].center_freq == 89e6
+    assert abs(plan.bands[1].center_freq - 90e6) < 1e-6
+
+
+def test_scan_endfreq_rounding():
+    """FM preset: 88-108 MHz at 2.4 Msps rounds endFreq to 109.6 MHz
+    (kspecanal.py:701-709)."""
+    cfg = SpecConfig(prg_mode="FMSCAN", sampling_rate=2.4e6,
+                     fft_size=512).finalize()
+    assert cfg.prg_mode == MODE_SCAN
+    assert cfg.start_freq == 88e6
+    assert abs(cfg.end_freq - 109.6e6) < 1e-3
+    assert cfg.center_freq == (88e6 + 109.6e6) / 2
+
+
+def test_scan_stitch_matches_oracle(rng):
+    cfg = scan_cfg()
+    plan = scan_mod.make_scan_plan(cfg)
+    win = window_lut(cfg.window, cfg.fft_size)
+    sweeps_iq = []
+    for _ in range(3):
+        sweeps_iq.append([
+            rng.standard_normal(cfg.full_size)
+            + 1j * rng.standard_normal(cfg.full_size)
+            for _ in range(plan.num_bands)])
+    # Device path
+    state = scan_mod.init_state(cfg, plan)
+    for sweep in sweeps_iq:
+        re = jnp.asarray(np.stack([b.real for b in sweep]), jnp.float32)
+        im = jnp.asarray(np.stack([b.imag for b in sweep]), jnp.float32)
+        oks = jnp.ones(plan.num_bands, bool)
+        state = scan_mod.sweep_step_jit(state, re, im, oks, cfg, plan)
+    # Oracle path
+    per_sweep = []
+    for sweep in sweeps_iq:
+        per_sweep.append(np.stack([
+            oracle_curscan(b, cfg.fft_size, cfg.cur_scan_non_overlap, win,
+                           cfg.cur_scan_cumu_mode) for b in sweep]))
+    want = oracle_scan_sweeps(per_sweep, cfg)
+    np.testing.assert_allclose(np.asarray(state.fft_cur), want["Cur"], atol=5e-3)
+    np.testing.assert_allclose(np.asarray(state.fft_max), want["Max"], atol=5e-3)
+    np.testing.assert_allclose(np.asarray(state.fft_min), want["Min"], atol=5e-3)
+    np.testing.assert_allclose(np.asarray(state.fft_avg), want["Avg"], atol=5e-3)
+    assert int(state.sweep) == 3
+
+
+def test_scan_retune_failure_sentinel(rng):
+    """Failed retunes produce the all-ones (-gain dB) sentinel band and the
+    sweep keeps going (kspecanal.py:635-639)."""
+    cfg = scan_cfg()
+    src = FlakySource(SynthIQSource(sample_rate=cfg.sampling_rate, seed=3),
+                      fail_every=1)  # every retune fails
+    sess = sess_mod.Session(cfg, src)
+    state = sess_mod.run_scan(sess, max_sweeps=1)
+    # Every band sentinel-filled with ones -> whole stitched Cur is exactly
+    # LogNoGain(1) = -gain dB (overlap averages of equal values are equal).
+    cur = np.asarray(state.fft_cur)
+    assert np.allclose(cur, -cfg.gain, atol=1e-4)
+
+
+def test_scan_via_session_driver(rng):
+    cfg = scan_cfg()
+    views = []
+    src = SynthIQSource(sample_rate=cfg.sampling_rate, seed=11)
+    sess = sess_mod.Session(cfg, src,
+                            renderer=lambda s, v, p, i, ts: views.append(v))
+    state = sess_mod.run_scan(sess, max_sweeps=2)
+    assert int(state.sweep) == 2
+    assert len(views) == 2
+    assert views[0].heatmap.shape[0] == 128
