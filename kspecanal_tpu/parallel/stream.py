@@ -1,0 +1,121 @@
+"""Streaming waterfall: process a long IQ stream as many zero-span
+iterations in parallel — the data-parallel throughput path (BASELINE.json
+configs 2 and 5).
+
+The reference's zero-span loop (kspecanal.py:460-505) is serial: one
+capture -> one curscan -> one heatmap row, with only the windows inside a
+single curscan available for batching.  But across iterations the products
+are reduction-structured, so the whole stream parallelizes exactly:
+
+  * every heatmap row depends only on its own IQ block  -> fully parallel
+  * Max/Min curves are associative reductions over rows -> pmax/pmin
+  * the Avg curve's sequential (a+b)/2 decay (kspecanal.py:137-139,476)
+    has closed-form per-iteration weights (config.cumu_weights), and each
+    device knows its blocks' GLOBAL iteration indices statically
+    -> weighted partial + psum reproduces the serial result EXACTLY.
+
+Note the zero-span curves cumulate in the dB domain (post LogNoGain,
+kspecanal.py:469-476) while the per-curscan window cumulation is linear —
+both are preserved here.
+
+Single-device (`waterfall_stream`) and sharded (`waterfall_stream_sharded`)
+entry points share the same per-block body; the sharded one runs under
+shard_map over the mesh 'time' axis with the row axis left sharded (each
+device keeps its own waterfall slab — assembling the full heatmap is an
+optional all_gather for display only).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from kspecanal_tpu.config import CUMU_AVG, SpecConfig, cumu_weights
+from kspecanal_tpu.ops import dsp
+from kspecanal_tpu.ops.spectrum import curscan
+
+
+class StreamResult(NamedTuple):
+    rows: jax.Array      # (T, hm_width) dB waterfall rows
+    fft_max: jax.Array   # (fft_size,) curves over the whole stream (dB)
+    fft_min: jax.Array
+    fft_avg: jax.Array
+    fft_cur: jax.Array   # last iteration's spectrum (dB)
+
+
+def _block_products(iq_re, iq_im, cfg: SpecConfig):
+    """One zero-span iteration's DSP: curscan -> LogNoGain -> heatmap row."""
+    spec_lin = curscan(iq_re, iq_im, cfg)
+    db = dsp.log_no_gain(spec_lin, cfg.gain)
+    row = dsp.compress_1d(db, cfg.plt_compress_hm, cfg.x_res)
+    return db, row
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def waterfall_stream(iq_re: jax.Array, iq_im: jax.Array,
+                     cfg: SpecConfig) -> StreamResult:
+    """(T, full_size) IQ planes -> waterfall rows + exact curves, one chip.
+    All T iterations batch through vmap (one big device program)."""
+    dbs, rows = jax.vmap(lambda r, i: _block_products(r, i, cfg))(iq_re, iq_im)
+    t = iq_re.shape[0]
+    w = jnp.asarray(cumu_weights(CUMU_AVG, t), dbs.dtype)
+    return StreamResult(
+        rows=rows,
+        fft_max=jnp.max(dbs, axis=0),
+        fft_min=jnp.min(dbs, axis=0),
+        fft_avg=jnp.einsum("t,tf->f", w, dbs),
+        fft_cur=dbs[-1],
+    )
+
+
+def _stream_shard_body(iq_re, iq_im, weights_tbl, cfg: SpecConfig,
+                       num_shards: int):
+    k = jax.lax.axis_index("time")
+    dbs, rows = jax.vmap(lambda r, i: _block_products(r, i, cfg))(iq_re, iq_im)
+    partial = jnp.einsum("t,tf->f", weights_tbl[k].astype(dbs.dtype), dbs)
+    fft_avg = jax.lax.psum(partial, "time")
+    fft_max = jax.lax.pmax(jnp.max(dbs, axis=0), "time")
+    fft_min = jax.lax.pmin(jnp.min(dbs, axis=0), "time")
+    # Cur = globally-last block's spectrum: only the last shard's last row;
+    # psum of a one-hot masked value broadcasts it losslessly.
+    is_last = (k == num_shards - 1).astype(dbs.dtype)
+    fft_cur = jax.lax.psum(dbs[-1] * is_last, "time")
+    return rows, fft_max, fft_min, fft_avg, fft_cur
+
+
+@functools.lru_cache(maxsize=16)
+def _build_stream_sharded(cfg: SpecConfig, t_total: int, mesh: Mesh):
+    s = mesh.shape["time"]
+    if t_total % s:
+        raise ValueError(f"stream length {t_total} not divisible by "
+                         f"{s} shards")
+    w = cumu_weights(CUMU_AVG, t_total).reshape(s, t_total // s)
+    weights_tbl = jnp.asarray(w, jnp.float32)
+
+    fn = shard_map(
+        functools.partial(_stream_shard_body, cfg=cfg, num_shards=s),
+        mesh=mesh,
+        in_specs=(P("time"), P("time"), P()),
+        out_specs=(P("time"), P(), P(), P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(iq_re, iq_im):
+        rows, fmax, fmin, favg, fcur = fn(iq_re, iq_im, weights_tbl)
+        return StreamResult(rows, fmax, fmin, favg, fcur)
+
+    return run
+
+
+def waterfall_stream_sharded(iq_re: jax.Array, iq_im: jax.Array,
+                             cfg: SpecConfig, mesh: Mesh) -> StreamResult:
+    """(T, full_size) IQ sharded over the mesh 'time' axis (T % S == 0).
+    Rows come back sharded over 'time'; curves replicated and exact."""
+    run = _build_stream_sharded(cfg, iq_re.shape[0], mesh)
+    return run(iq_re, iq_im)

@@ -1,0 +1,131 @@
+"""Multi-chip sharding on the 8-device virtual CPU mesh: time-sharded
+curscan with halo exchange must reproduce the single-device result exactly
+(SURVEY.md §4 strategy (c))."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from kspecanal_tpu.config import (CUMU_AVG, CUMU_MAX, CUMU_MIN, CUMU_RAW,
+                                  SpecConfig, WINDOW_HANNING, WINDOW_KAISER)
+from kspecanal_tpu.ops.spectrum import curscan_jit
+from kspecanal_tpu.parallel.mesh import make_mesh
+from kspecanal_tpu.parallel.timeshard import (curscan_time_sharded,
+                                              make_time_shard_plan)
+
+
+def iq_pair(rng, n):
+    return (jnp.asarray(rng.standard_normal(n), jnp.float32),
+            jnp.asarray(rng.standard_normal(n), jnp.float32))
+
+
+@pytest.mark.parametrize("cumu", [CUMU_AVG, CUMU_MAX, CUMU_MIN, CUMU_RAW])
+@pytest.mark.parametrize("shards", [2, 4, 8])
+def test_time_sharded_curscan_matches_single(rng, cumu, shards):
+    cfg = SpecConfig(fft_size=256, sampling_rate=2.4e6, window=WINDOW_HANNING,
+                     cur_scan_non_overlap=0.5, cur_scan_cumu_mode=cumu)
+    re, im = iq_pair(rng, cfg.full_size)
+    mesh = make_mesh(time=shards)
+    got = np.asarray(curscan_time_sharded(re, im, cfg, mesh))
+    want = np.asarray(curscan_jit(re, im, cfg))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-7)
+
+
+def test_time_sharded_fractional_hop(rng):
+    """90% overlap (the deep-waterfall config) with non-uniform window
+    starts straddling shard boundaries."""
+    cfg = SpecConfig(fft_size=256, sampling_rate=2.4e6, window=WINDOW_KAISER,
+                     cur_scan_non_overlap=0.1, cur_scan_cumu_mode=CUMU_AVG)
+    re, im = iq_pair(rng, cfg.full_size)
+    mesh = make_mesh(time=4)
+    got = np.asarray(curscan_time_sharded(re, im, cfg, mesh))
+    want = np.asarray(curscan_jit(re, im, cfg))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-7)
+
+
+def test_plan_window_partition():
+    cfg = SpecConfig(fft_size=256, sampling_rate=2.4e6,
+                     cur_scan_non_overlap=0.5)
+    plan = make_time_shard_plan(cfg, 4)
+    # All windows accounted for exactly once
+    n_valid = sum(sum(v) for v in plan.valid)
+    assert n_valid == cfg.num_windows
+    assert plan.block == cfg.full_size // 4
+    assert plan.halo == cfg.fft_size
+    # AVG weights sum to 1 across all shards
+    total_w = sum(sum(w) for w in plan.weights)
+    assert abs(total_w - 1.0) < 1e-9
+
+
+def test_too_many_shards_rejected():
+    cfg = SpecConfig(fft_size=1024, sampling_rate=2.4e6)
+    with pytest.raises(ValueError):
+        make_time_shard_plan(cfg, 8192)
+
+
+def test_stream_matches_serial_zero_span(rng):
+    """Sharded streaming waterfall == serial zero-span loop, exactly."""
+    from kspecanal_tpu.models import zerospan as zs
+    from kspecanal_tpu.parallel.stream import (waterfall_stream,
+                                               waterfall_stream_sharded)
+    cfg = SpecConfig(prg_mode="ZEROSPAN", fft_size=256, sampling_rate=2.4e6,
+                     window=WINDOW_HANNING, cur_scan_non_overlap=0.5,
+                     x_res=256).finalize()
+    T = 16
+    re = jnp.asarray(rng.standard_normal((T, cfg.full_size)), jnp.float32)
+    im = jnp.asarray(rng.standard_normal((T, cfg.full_size)), jnp.float32)
+
+    # Serial reference: the per-iteration jitted step
+    state = zs.init_state(cfg)
+    rows = []
+    for t in range(T):
+        state, view = zs.zero_span_step_jit(state, re[t], im[t], cfg)
+    # Single-chip batched stream
+    res1 = waterfall_stream(re, im, cfg)
+    np.testing.assert_allclose(np.asarray(res1.fft_max),
+                               np.asarray(state.fft_max), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res1.fft_min),
+                               np.asarray(state.fft_min), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res1.fft_avg),
+                               np.asarray(state.fft_avg), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(res1.fft_cur),
+                               np.asarray(state.fft_cur), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res1.rows[-1]),
+                               np.asarray(state.heatmap[T - 1]),
+                               rtol=1e-5, atol=1e-5)
+    # Sharded stream over 8 virtual chips
+    mesh = make_mesh(time=8)
+    res8 = waterfall_stream_sharded(re, im, cfg, mesh)
+    np.testing.assert_allclose(np.asarray(res8.fft_avg),
+                               np.asarray(res1.fft_avg), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res8.fft_max),
+                               np.asarray(res1.fft_max), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res8.rows),
+                               np.asarray(res1.rows), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res8.fft_cur),
+                               np.asarray(res1.fft_cur), rtol=1e-6, atol=1e-6)
+
+
+def test_band_sharded_scan_matches_single(rng):
+    from kspecanal_tpu.models import scan as scan_mod
+    from kspecanal_tpu.parallel.bandshard import sweep_step_band_sharded
+    cfg = SpecConfig(prg_mode="SCAN", start_freq=88e6, end_freq=96e6,
+                     sampling_rate=2e6, fft_size=128, x_res=128,
+                     window=WINDOW_HANNING, cur_scan_non_overlap=0.5,
+                     scan_range_non_overlap=0.5).finalize()
+    plan = scan_mod.make_scan_plan(cfg)
+    B = plan.num_bands
+    re = jnp.asarray(rng.standard_normal((B, cfg.full_size)), jnp.float32)
+    im = jnp.asarray(rng.standard_normal((B, cfg.full_size)), jnp.float32)
+    oks = jnp.ones(B, bool)
+    s_single = scan_mod.init_state(cfg, plan)
+    s_shard = scan_mod.init_state(cfg, plan)
+    for _ in range(2):
+        s_single = scan_mod.sweep_step_jit(s_single, re, im, oks, cfg, plan)
+    mesh = make_mesh(time=1, band=4)  # 8 bands over 4 devices
+    for _ in range(2):
+        s_shard = sweep_step_band_sharded(s_shard, re, im, oks, cfg, plan,
+                                          mesh)
+    for a, b in zip(s_single[:5], s_shard[:5]):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-5)
