@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Benchmark: IQ samples/s/chip through the windowed-FFT + waterfall chain
+(the BASELINE.json primary metric).
+
+Measures the flagship streaming-waterfall pipeline (BASELINE.json config 2
+geometry: fftSize 2048, kaiser window, 50% overlap; plus the 64-4096 sweep)
+on the available accelerator, against the serial float64 NumPy oracle of
+the reference math (kspecanal.py:368-397 + display chain) run on this
+host's CPU — the reference publishes no numbers, so the CPU oracle IS the
+baseline (BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "samples/s", "vs_baseline": N}
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def numpy_baseline_samples_per_s(cfg, t_blocks: int) -> float:
+    """Serial NumPy port of the reference chain: per block, overlapped
+    windowed FFTs + sequential AVG cumulate + fftshift + LogNoGain + row
+    compress (kspecanal.py:385-397,469-484)."""
+    from kspecanal_tpu.config import window_lut
+
+    win = window_lut(cfg.window, cfg.fft_size)
+    win_adj = len(win) / np.sum(win)
+    rng = np.random.default_rng(0)
+    blocks = (rng.standard_normal((t_blocks, cfg.full_size))
+              + 1j * rng.standard_normal((t_blocks, cfg.full_size)))
+    starts = cfg.window_starts
+    n = cfg.fft_size
+    t0 = time.perf_counter()
+    for b in range(t_blocks):
+        acc = None
+        for s in starts:
+            frame = blocks[b, s:s + n]
+            mag = win_adj * 2 * np.abs(np.fft.fft(frame * win)) / n
+            acc = mag if acc is None else (acc + mag) / 2
+        spec = np.fft.fftshift(acc)
+        db = 10 * np.log10(spec) - cfg.gain
+        row = np.max(db[: (len(db) // cfg.x_res) * cfg.x_res]
+                     .reshape(cfg.x_res, -1), axis=1)
+    dt = time.perf_counter() - t0
+    return t_blocks * cfg.full_size / dt
+
+
+def device_samples_per_s(cfg, t_blocks: int, iters: int = 5) -> float:
+    import jax
+    import jax.numpy as jnp
+    from kspecanal_tpu.parallel.stream import waterfall_stream
+
+    rng = np.random.default_rng(0)
+    re = jnp.asarray(rng.standard_normal((t_blocks, cfg.full_size)),
+                     jnp.float32)
+    im = jnp.asarray(rng.standard_normal((t_blocks, cfg.full_size)),
+                     jnp.float32)
+    # Warmup / compile
+    res = waterfall_stream(re, im, cfg)
+    jax.block_until_ready(res)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        res = waterfall_stream(re, im, cfg)
+    jax.block_until_ready(res)
+    dt = (time.perf_counter() - t0) / iters
+    return t_blocks * cfg.full_size / dt
+
+
+def main():
+    from kspecanal_tpu.config import SpecConfig, WINDOW_KAISER
+
+    details = {}
+    # Primary: config 2 geometry (fftSize 2048, kaiser, 50% overlap)
+    cfg = SpecConfig(prg_mode="ZEROSPAN", fft_size=2048, sampling_rate=2.4e6,
+                     window=WINDOW_KAISER, cur_scan_non_overlap=0.5,
+                     x_res=512).finalize()
+    value = device_samples_per_s(cfg, t_blocks=256)
+    base = numpy_baseline_samples_per_s(cfg, t_blocks=8)
+    details["fft2048"] = {"tpu": value, "cpu_oracle": base}
+
+    # Secondary: the 64-4096 fftSize sweep of the primary metric
+    for fft_size in (64, 256, 1024, 4096):
+        c = SpecConfig(prg_mode="ZEROSPAN", fft_size=fft_size,
+                       sampling_rate=2.4e6, window=WINDOW_KAISER,
+                       cur_scan_non_overlap=0.5,
+                       x_res=min(512, fft_size)).finalize()
+        details[f"fft{fft_size}"] = {
+            "tpu": device_samples_per_s(c, t_blocks=256)}
+
+    result = {
+        "metric": "IQ samples/s/chip through windowed-FFT+waterfall chain "
+                  "(fftSize 2048, kaiser, 50% overlap)",
+        "value": value,
+        "unit": "samples/s",
+        "vs_baseline": value / base,
+        "details": details,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
