@@ -1,0 +1,80 @@
+"""Headless GUI smoke tests (Agg backend) + IO format tests."""
+import numpy as np
+import pytest
+
+from kspecanal_tpu.config import SpecConfig
+from kspecanal_tpu.io.sources import (FileIQSource, SynthIQSource,
+                                      load_rtlsdr_capture)
+from kspecanal_tpu.ops.peaks import find_peaks
+
+
+def test_rawiq_capture_roundtrip(tmp_path):
+    """uint8 interleaved, value-127 offset (octave/load_rtlsdr.m:8-13)."""
+    path = tmp_path / "cap.iq"
+    raw = np.array([127, 127, 227, 27, 0, 255], np.uint8)  # 3 samples
+    path.write_bytes(raw.tobytes())
+    re, im = load_rtlsdr_capture(str(path))
+    np.testing.assert_allclose(re, [0, 100, -127])
+    np.testing.assert_allclose(im, [0, -100, 128])
+    # offset/count in complex samples
+    re2, im2 = load_rtlsdr_capture(str(path), count=1, offset=1)
+    np.testing.assert_allclose(re2, [100])
+    np.testing.assert_allclose(im2, [-100])
+
+
+def test_file_source_wraps(tmp_path):
+    path = tmp_path / "cap.iq"
+    raw = (np.arange(16, dtype=np.uint8) + 120)
+    path.write_bytes(raw.tobytes())  # 8 complex samples
+    src = FileIQSource(str(path))
+    re, im = src.read(20)  # wraps 2.5x
+    assert len(re) == 20
+    np.testing.assert_allclose(re[:8], re[8:16])
+
+
+def test_synth_source_tone_positions(rng):
+    """abs_freqs grid: tones at every integer MHz in band (testfft.py:36-55)."""
+    src = SynthIQSource(center_freq=92e6, sample_rate=2.4e6, gain=0.0, seed=1)
+    tones = src.grid_tones()
+    # band 90.8-93.2 MHz -> tones at 91,92,93 MHz = offsets +1e6, 0, -1e6
+    assert sorted(tones.tolist()) == [-1e6, 0.0, 1e6]
+    re, im = src.read(4096)
+    assert re.dtype == np.float32 and len(re) == 4096
+
+
+def test_find_peaks_separation():
+    freqs = np.linspace(0.0, 1.0, 101)
+    levels = np.zeros(101)
+    levels[50] = 10.0
+    levels[51] = 9.0   # within min separation of the top peak -> skipped
+    levels[80] = 8.0
+    peaks = find_peaks(freqs, levels, num_markers=2, delta4marking=0.025)
+    assert len(peaks) == 2
+    assert abs(peaks[0].freq - 0.50) < 1e-9
+    assert abs(peaks[1].freq - 0.80) < 1e-9
+
+
+def test_gui_headless_smoke(rng):
+    matplotlib = pytest.importorskip("matplotlib")
+    matplotlib.use("Agg", force=True)
+    import jax.numpy as jnp
+    from kspecanal_tpu.gui import MatplotlibRenderer
+    from kspecanal_tpu.models import zerospan as zs
+    from kspecanal_tpu import session as sess_mod
+
+    cfg = SpecConfig(prg_mode="ZEROSPAN", fft_size=128, sampling_rate=2.4e6,
+                     x_res=128).finalize()
+    r = MatplotlibRenderer(cfg, interactive=False)
+    src = SynthIQSource(center_freq=cfg.center_freq,
+                        sample_rate=cfg.sampling_rate, seed=2)
+    sess = sess_mod.Session(cfg, src, renderer=r)
+    sess_mod.run_zero_span(sess, max_iters=2)
+    # toggle a curve off and re-apply
+    r.toggles["b_data_min"] = False
+    cfg2 = r.apply_toggles(cfg)
+    assert cfg2.b_data_min is False
+    # quit path
+    r.quit_requested = True
+    sess_mod.run_zero_span(sess, max_iters=2)
+    assert sess.stop
+    r.close()
