@@ -1,0 +1,73 @@
+"""ctypes bindings for the native host-ingest kernels (native/iqdecode.cpp).
+
+Builds the shared library on first use if the repo's native toolchain is
+available; callers fall back to NumPy decode when the build or load fails
+(io/sources.py catches ImportError/OSError).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "build", "libiqdecode.so")
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _load() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True)
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.iq_decode_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_size_t, ctypes.c_int]
+    lib.iq_decode_u8.restype = None
+    lib.iq_split_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_size_t]
+    lib.iq_split_f32.restype = None
+    _lib = lib
+    return lib
+
+
+def decode_u8_iq(raw: np.ndarray,
+                 num_threads: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """uint8 interleaved I/Q (-127 offset) -> float32 planes."""
+    lib = _load()
+    raw = np.ascontiguousarray(raw, np.uint8)
+    n = len(raw) // 2
+    re = np.empty(n, np.float32)
+    im = np.empty(n, np.float32)
+    if num_threads <= 0:
+        num_threads = min(8, os.cpu_count() or 1)
+    lib.iq_decode_u8(
+        raw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        re.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        im.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n, num_threads)
+    return re, im
+
+
+def split_complex64(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """complex64 array -> float32 planes via the native deinterleaver."""
+    lib = _load()
+    x = np.ascontiguousarray(x, np.complex64)
+    n = len(x)
+    re = np.empty(n, np.float32)
+    im = np.empty(n, np.float32)
+    lib.iq_split_f32(
+        x.view(np.float32).ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        re.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        im.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n)
+    return re, im

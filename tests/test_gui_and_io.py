@@ -78,3 +78,21 @@ def test_gui_headless_smoke(rng):
     sess_mod.run_zero_span(sess, max_iters=2)
     assert sess.stop
     r.close()
+
+
+def test_native_decoder_matches_numpy(rng):
+    """Native C++ ingest == NumPy decode (and sources.py uses it)."""
+    native_iq = pytest.importorskip("kspecanal_tpu.io.native_iq")
+    try:
+        raw = rng.integers(0, 256, size=2 * 4096).astype(np.uint8)
+        re, im = native_iq.decode_u8_iq(raw)
+    except OSError:
+        pytest.skip("native build unavailable")
+    x = raw.astype(np.float32) - 127.0
+    np.testing.assert_allclose(re, x[0::2])
+    np.testing.assert_allclose(im, x[1::2])
+    z = (rng.standard_normal(1024) + 1j * rng.standard_normal(1024)
+         ).astype(np.complex64)
+    re2, im2 = native_iq.split_complex64(z)
+    np.testing.assert_allclose(re2, z.real)
+    np.testing.assert_allclose(im2, z.imag)
