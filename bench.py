@@ -47,23 +47,30 @@ def numpy_baseline_samples_per_s(cfg, t_blocks: int) -> float:
     return t_blocks * cfg.full_size / dt
 
 
-def device_samples_per_s(cfg, t_blocks: int, iters: int = 5) -> float:
+def device_samples_per_s(cfg, t_blocks: int, iters: int = 10) -> float:
+    """Sustained device throughput of the full waterfall chain.
+
+    Measurement notes: data is generated ON-device (host<->device transfer
+    over this environment's TPU tunnel is slow and would otherwise dominate)
+    and a scalar host readback forces real completion — block_until_ready
+    alone does not reliably synchronize through the tunnel, which inflates
+    naive timings ~20x.
+    """
     import jax
     import jax.numpy as jnp
     from kspecanal_tpu.parallel.stream import waterfall_stream
 
-    rng = np.random.default_rng(0)
-    re = jnp.asarray(rng.standard_normal((t_blocks, cfg.full_size)),
-                     jnp.float32)
-    im = jnp.asarray(rng.standard_normal((t_blocks, cfg.full_size)),
-                     jnp.float32)
-    # Warmup / compile
+    mk = jax.jit(lambda k: jax.random.normal(
+        k, (2, t_blocks, cfg.full_size), jnp.float32))
+    planes = mk(jax.random.key(0))
+    re, im = planes[0], planes[1]
+    # Warmup / compile, then force completion via scalar readback
     res = waterfall_stream(re, im, cfg)
-    jax.block_until_ready(res)
+    _ = float(res.fft_avg[0])
     t0 = time.perf_counter()
     for _ in range(iters):
         res = waterfall_stream(re, im, cfg)
-    jax.block_until_ready(res)
+    _ = float(res.fft_avg[0])
     dt = (time.perf_counter() - t0) / iters
     return t_blocks * cfg.full_size / dt
 
@@ -76,18 +83,18 @@ def main():
     cfg = SpecConfig(prg_mode="ZEROSPAN", fft_size=2048, sampling_rate=2.4e6,
                      window=WINDOW_KAISER, cur_scan_non_overlap=0.5,
                      x_res=512).finalize()
-    value = device_samples_per_s(cfg, t_blocks=256)
+    value = device_samples_per_s(cfg, t_blocks=2048)
     base = numpy_baseline_samples_per_s(cfg, t_blocks=8)
     details["fft2048"] = {"tpu": value, "cpu_oracle": base}
 
-    # Secondary: the 64-4096 fftSize sweep of the primary metric
-    for fft_size in (64, 256, 1024, 4096):
+    # Secondary: spot checks across the 64-16384 fftSize range
+    for fft_size, t_blocks in ((64, 4096), (4096, 1024), (16384, 256)):
         c = SpecConfig(prg_mode="ZEROSPAN", fft_size=fft_size,
                        sampling_rate=2.4e6, window=WINDOW_KAISER,
                        cur_scan_non_overlap=0.5,
                        x_res=min(512, fft_size)).finalize()
         details[f"fft{fft_size}"] = {
-            "tpu": device_samples_per_s(c, t_blocks=256)}
+            "tpu": device_samples_per_s(c, t_blocks=t_blocks)}
 
     result = {
         "metric": "IQ samples/s/chip through windowed-FFT+waterfall chain "

@@ -132,3 +132,16 @@ def psd_welch(iq_re: jax.Array, iq_im: jax.Array, cfg: SpecConfig) -> jax.Array:
     fs = 2.0  # mlab default when Fs is unspecified (kspecanal.py:381)
     pxx = pxx / (fs * jnp.sum(win * win))
     return jnp.fft.fftshift(pxx)
+
+
+def curscan_auto_batched(iq_re: jax.Array, iq_im: jax.Array,
+                         cfg: SpecConfig) -> jax.Array:
+    """Best batched curscan for the current backend: the fused Pallas
+    kernel on TPU for fft_size >= 2048 with aligned window starts (measured
+    1.1-3.3x the XLA chain there — scripts/perf_probe.py), the XLA
+    gather+FFT chain otherwise."""
+    from kspecanal_tpu.ops import pallas_curscan
+    if (jax.default_backend() == "tpu" and cfg.fft_size >= 2048
+            and pallas_curscan.supports_fused(cfg)):
+        return pallas_curscan.curscan_fused(iq_re, iq_im, cfg)
+    return curscan_batched(iq_re, iq_im, cfg)

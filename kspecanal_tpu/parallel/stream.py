@@ -37,7 +37,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from kspecanal_tpu.config import CUMU_AVG, SpecConfig, cumu_weights
 from kspecanal_tpu.ops import dsp
-from kspecanal_tpu.ops.spectrum import curscan
+from kspecanal_tpu.ops.spectrum import curscan_auto_batched
 
 
 class StreamResult(NamedTuple):
@@ -48,20 +48,22 @@ class StreamResult(NamedTuple):
     fft_cur: jax.Array   # last iteration's spectrum (dB)
 
 
-def _block_products(iq_re, iq_im, cfg: SpecConfig):
-    """One zero-span iteration's DSP: curscan -> LogNoGain -> heatmap row."""
-    spec_lin = curscan(iq_re, iq_im, cfg)
-    db = dsp.log_no_gain(spec_lin, cfg.gain)
-    row = dsp.compress_1d(db, cfg.plt_compress_hm, cfg.x_res)
-    return db, row
+def _batch_products(iq_re, iq_im, cfg: SpecConfig):
+    """All blocks' zero-span DSP: batched curscan (fused Pallas kernel on
+    TPU where supported) -> LogNoGain -> heatmap rows."""
+    spec_lin = curscan_auto_batched(iq_re, iq_im, cfg)   # (T, fft_size)
+    dbs = dsp.log_no_gain(spec_lin, cfg.gain)
+    rows = jax.vmap(
+        lambda d: dsp.compress_1d(d, cfg.plt_compress_hm, cfg.x_res))(dbs)
+    return dbs, rows
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def waterfall_stream(iq_re: jax.Array, iq_im: jax.Array,
                      cfg: SpecConfig) -> StreamResult:
     """(T, full_size) IQ planes -> waterfall rows + exact curves, one chip.
-    All T iterations batch through vmap (one big device program)."""
-    dbs, rows = jax.vmap(lambda r, i: _block_products(r, i, cfg))(iq_re, iq_im)
+    All T iterations batch through one device program."""
+    dbs, rows = _batch_products(iq_re, iq_im, cfg)
     t = iq_re.shape[0]
     w = jnp.asarray(cumu_weights(CUMU_AVG, t), dbs.dtype)
     return StreamResult(
@@ -76,7 +78,7 @@ def waterfall_stream(iq_re: jax.Array, iq_im: jax.Array,
 def _stream_shard_body(iq_re, iq_im, weights_tbl, cfg: SpecConfig,
                        num_shards: int):
     k = jax.lax.axis_index("time")
-    dbs, rows = jax.vmap(lambda r, i: _block_products(r, i, cfg))(iq_re, iq_im)
+    dbs, rows = _batch_products(iq_re, iq_im, cfg)
     partial = jnp.einsum("t,tf->f", weights_tbl[k].astype(dbs.dtype), dbs)
     fft_avg = jax.lax.psum(partial, "time")
     fft_max = jax.lax.pmax(jnp.max(dbs, axis=0), "time")

@@ -1,0 +1,69 @@
+"""Fused Pallas curscan kernel (interpret mode on CPU) and the MXU matmul
+DFT vs the XLA chain / NumPy."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from kspecanal_tpu.config import (SpecConfig, WINDOW_HANNING, WINDOW_KAISER,
+                                  WINDOW_ONES)
+from kspecanal_tpu.ops.mxu_fft import _factorize, fft_mxu
+from kspecanal_tpu.ops.pallas_curscan import curscan_fused, supports_fused
+from kspecanal_tpu.ops.spectrum import curscan_auto_batched, curscan_batched
+
+
+def test_mxu_fft_matches_numpy(rng):
+    for n in (64, 256, 2048, 250):
+        x = rng.standard_normal((3, n)) + 1j * rng.standard_normal((3, n))
+        xr, xi = jax.jit(fft_mxu)(jnp.asarray(x.real, jnp.float32),
+                                  jnp.asarray(x.imag, jnp.float32))
+        got = np.asarray(xr) + 1j * np.asarray(xi)
+        want = np.fft.fft(x, axis=-1)
+        assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 1e-5
+
+
+def test_factorize():
+    assert _factorize(16384) == (128, 128)
+    assert _factorize(2048) == (64, 32)
+    assert _factorize(64) == (8, 8)
+    assert _factorize(13) == (13, 1)  # prime -> XLA fallback
+
+
+@pytest.mark.parametrize("fft_size,window,mode", [
+    (2048, WINDOW_KAISER, "AVG"),
+    (256, WINDOW_HANNING, "MAX"),
+    (64, WINDOW_ONES, "MIN"),
+    (4096, WINDOW_KAISER, "RAW"),
+])
+def test_fused_kernel_matches_chain(rng, fft_size, window, mode):
+    cfg = SpecConfig(prg_mode="ZEROSPAN", fft_size=fft_size,
+                     sampling_rate=2.4e6, window=window,
+                     cur_scan_non_overlap=0.5,
+                     cur_scan_cumu_mode=mode).finalize()
+    assert supports_fused(cfg)
+    re = jnp.asarray(rng.standard_normal((2, cfg.full_size)), jnp.float32)
+    im = jnp.asarray(rng.standard_normal((2, cfg.full_size)), jnp.float32)
+    got = np.asarray(curscan_fused(re, im, cfg))
+    want = np.asarray(jax.jit(
+        lambda r, i: curscan_batched(r, i, cfg))(re, im))
+    assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 1e-5
+
+
+def test_fused_rejects_misaligned():
+    cfg = SpecConfig(fft_size=2048, cur_scan_non_overlap=0.1)
+    assert not supports_fused(cfg)
+    with pytest.raises(ValueError):
+        curscan_fused(jnp.zeros((1, cfg.full_size)),
+                      jnp.zeros((1, cfg.full_size)), cfg)
+
+
+def test_auto_dispatch_runs_everywhere(rng):
+    """curscan_auto_batched must work for any config on any backend."""
+    for nono in (0.5, 0.1):
+        cfg = SpecConfig(prg_mode="ZEROSPAN", fft_size=256,
+                         sampling_rate=2.4e6, window=WINDOW_HANNING,
+                         cur_scan_non_overlap=nono).finalize()
+        re = jnp.asarray(rng.standard_normal((2, cfg.full_size)), jnp.float32)
+        im = jnp.asarray(rng.standard_normal((2, cfg.full_size)), jnp.float32)
+        out = jax.jit(lambda r, i: curscan_auto_batched(r, i, cfg))(re, im)
+        assert out.shape == (2, cfg.fft_size)
