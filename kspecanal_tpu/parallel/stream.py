@@ -121,3 +121,84 @@ def waterfall_stream_sharded(iq_re: jax.Array, iq_im: jax.Array,
     Rows come back sharded over 'time'; curves replicated and exact."""
     run = _build_stream_sharded(cfg, iq_re.shape[0], mesh)
     return run(iq_re, iq_im)
+
+
+# ---------------------------------------------------------------------------
+# Chunked long streams (BASELINE.json config 5: minutes of IQ)
+# ---------------------------------------------------------------------------
+
+def _cont_weights(t: int) -> np.ndarray:
+    """Decay weights for a NON-first chunk: the incoming average is a live
+    value, so every new block decays it by 2 (f = f_prev*2^-T + sum w_i x_i
+    with w_i = 2^-(t-i)) — no first-copy doubling."""
+    i = np.arange(t)
+    return 2.0 ** -(t - i.astype(np.float64))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "first"))
+def waterfall_stream_step(carry, iq_re, iq_im, cfg: SpecConfig, first: bool):
+    """One chunk of a long session: fold (T_chunk, full_size) IQ into the
+    running (max, min, avg) curves; returns new carry + this chunk's
+    waterfall rows.  Exact continuation of the serial decay across chunks.
+    """
+    fmax, fmin, favg = carry
+    dbs, rows = _batch_products(iq_re, iq_im, cfg)
+    t = iq_re.shape[0]
+    if first:
+        w = jnp.asarray(cumu_weights(CUMU_AVG, t), dbs.dtype)
+        favg2 = jnp.einsum("t,tf->f", w, dbs)
+        fmax2 = jnp.max(dbs, axis=0)
+        fmin2 = jnp.min(dbs, axis=0)
+    else:
+        w = jnp.asarray(_cont_weights(t), dbs.dtype)
+        favg2 = favg * jnp.asarray(2.0 ** -t, dbs.dtype) + \
+            jnp.einsum("t,tf->f", w, dbs)
+        fmax2 = jnp.maximum(fmax, jnp.max(dbs, axis=0))
+        fmin2 = jnp.minimum(fmin, jnp.min(dbs, axis=0))
+    return (fmax2, fmin2, favg2), (rows, dbs[-1])
+
+
+def stream_session(iq_re: np.ndarray, iq_im: np.ndarray, cfg: SpecConfig,
+                   chunk_blocks: int = 256):
+    """Process an arbitrarily long IQ recording through the waterfall chain
+    in bounded device memory.
+
+    Generator yielding ``(chunk_index, rows)`` per chunk; its ``return``
+    value (``StopIteration.value``, or use :func:`run_stream_session`) is
+    the final StreamResult with rows=None.
+    """
+    full = cfg.full_size
+    t_total = iq_re.shape[0] // full
+    z = jnp.zeros(cfg.fft_size, jnp.float32)
+    carry = (z, z, z)
+    cur = z
+    for ci, start in enumerate(range(0, t_total, chunk_blocks)):
+        t = min(chunk_blocks, t_total - start)
+        re = jnp.asarray(
+            iq_re[start * full:(start + t) * full].reshape(t, full))
+        im = jnp.asarray(
+            iq_im[start * full:(start + t) * full].reshape(t, full))
+        carry, (rows, cur) = waterfall_stream_step(
+            carry, re, im, cfg, first=(ci == 0))
+        yield ci, rows
+    return StreamResult(rows=None, fft_max=carry[0], fft_min=carry[1],
+                        fft_avg=carry[2], fft_cur=cur)
+
+
+def run_stream_session(iq_re: np.ndarray, iq_im: np.ndarray,
+                       cfg: SpecConfig,
+                       chunk_blocks: int = 256) -> StreamResult:
+    """Convenience wrapper: run the whole recording, return final curves +
+    all rows concatenated (host side)."""
+    rows_all = []
+    gen = stream_session(iq_re, iq_im, cfg, chunk_blocks)
+    while True:
+        try:
+            _, rows = next(gen)
+            rows_all.append(np.asarray(rows))
+        except StopIteration as stop:
+            final = stop.value
+            break
+    return StreamResult(rows=np.concatenate(rows_all, axis=0),
+                        fft_max=final.fft_max, fft_min=final.fft_min,
+                        fft_avg=final.fft_avg, fft_cur=final.fft_cur)

@@ -129,3 +129,29 @@ def test_band_sharded_scan_matches_single(rng):
     for a, b in zip(s_single[:5], s_shard[:5]):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_chunked_stream_matches_monolithic(rng):
+    """Long-session chunked processing == one-shot batched stream, exactly
+    (cross-chunk decay continuation)."""
+    from kspecanal_tpu.parallel.stream import (run_stream_session,
+                                               waterfall_stream)
+    cfg = SpecConfig(prg_mode="ZEROSPAN", fft_size=128, sampling_rate=2.4e6,
+                     window=WINDOW_HANNING, cur_scan_non_overlap=0.5,
+                     x_res=128).finalize()
+    T = 20
+    re = rng.standard_normal((T * cfg.full_size,)).astype(np.float32)
+    im = rng.standard_normal((T * cfg.full_size,)).astype(np.float32)
+    mono = waterfall_stream(jnp.asarray(re.reshape(T, -1)),
+                            jnp.asarray(im.reshape(T, -1)), cfg)
+    chunked = run_stream_session(re, im, cfg, chunk_blocks=7)  # uneven
+    np.testing.assert_allclose(np.asarray(chunked.fft_avg),
+                               np.asarray(mono.fft_avg), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(chunked.fft_max),
+                               np.asarray(mono.fft_max), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(chunked.fft_min),
+                               np.asarray(mono.fft_min), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(chunked.fft_cur),
+                               np.asarray(mono.fft_cur), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(chunked.rows, np.asarray(mono.rows),
+                               rtol=1e-6, atol=1e-6)
