@@ -75,6 +75,10 @@ def device_samples_per_s(cfg, t_blocks: int, iters: int = 10) -> float:
     return t_blocks * cfg.full_size / dt
 
 
+def _progress(msg):
+    print(f"# {msg}", file=sys.stderr, flush=True)
+
+
 def main():
     from kspecanal_tpu.config import SpecConfig, WINDOW_KAISER
 
@@ -83,7 +87,9 @@ def main():
     cfg = SpecConfig(prg_mode="ZEROSPAN", fft_size=2048, sampling_rate=2.4e6,
                      window=WINDOW_KAISER, cur_scan_non_overlap=0.5,
                      x_res=512).finalize()
+    _progress("primary fft2048 on device...")
     value = device_samples_per_s(cfg, t_blocks=2048)
+    _progress(f"primary done: {value/1e9:.2f} Gsamp/s; cpu oracle...")
     base = numpy_baseline_samples_per_s(cfg, t_blocks=8)
     details["fft2048"] = {"tpu": value, "cpu_oracle": base}
 
@@ -93,6 +99,7 @@ def main():
                        sampling_rate=2.4e6, window=WINDOW_KAISER,
                        cur_scan_non_overlap=0.5,
                        x_res=min(512, fft_size)).finalize()
+        _progress(f"sweep fft{fft_size}...")
         details[f"fft{fft_size}"] = {
             "tpu": device_samples_per_s(c, t_blocks=t_blocks)}
 

@@ -27,6 +27,7 @@ from kspecanal_tpu.models import scan as scan_mod
 from kspecanal_tpu.models import zerospan as zs
 from kspecanal_tpu.ops.peaks import find_peaks
 from kspecanal_tpu.utils.logging import log_info, log_warn
+from kspecanal_tpu.utils.profiling import StageTimer
 
 
 class Session:
@@ -42,6 +43,7 @@ class Session:
         self.adj: Optional[np.ndarray] = None   # Fft.Adj baseline
         self.final_avg: Optional[np.ndarray] = None
         self.iter_times: list = []
+        self.timer = StageTimer()    # per-stage wall/throughput accounting
         if cfg.adj_sig_lvls:
             self._load_baseline()
 
@@ -95,14 +97,17 @@ def run_zero_span(sess: Session, max_iters: Optional[int] = None
         cur = time.time()
         sess.iter_times.append(cur - prev)
         prev = cur
-        re, im = sess.source.read(cfg.full_size)
-        if adj is None:
-            state, view = zs.zero_span_step_jit(
-                state, jnp.asarray(re), jnp.asarray(im), cfg)
-        else:
-            state, view = zs.zero_span_step_adj_jit(
-                state, jnp.asarray(re), jnp.asarray(im), adj, cfg)
-        sess._emit(view, i)
+        with sess.timer.stage("acquire", cfg.full_size):
+            re, im = sess.source.read(cfg.full_size)
+        with sess.timer.stage("dsp", cfg.full_size):
+            if adj is None:
+                state, view = zs.zero_span_step_jit(
+                    state, jnp.asarray(re), jnp.asarray(im), cfg)
+            else:
+                state, view = zs.zero_span_step_adj_jit(
+                    state, jnp.asarray(re), jnp.asarray(im), adj, cfg)
+        with sess.timer.stage("render"):
+            sess._emit(view, i)
     sess.final_avg = np.asarray(state.fft_avg, np.float64)
     return state
 
