@@ -124,8 +124,17 @@ def display_update(state: ZeroSpanState, spectrum_linear: jax.Array,
 def zero_span_step(state: ZeroSpanState, iq_re: jax.Array, iq_im: jax.Array,
                    cfg: SpecConfig, adj: Optional[jax.Array] = None):
     """One full zero-span iteration from raw IQ: curscan + display update
-    (the body of the loop at kspecanal.py:460-505)."""
-    spectrum = curscan(iq_re, iq_im, cfg)
+    (the body of the loop at kspecanal.py:460-505).
+
+    ``b_use_psd`` swaps the hand-rolled windowed-overlap chain for the
+    Welch PSD cross-check (kspecanal.py:374-384; the reference returns the
+    mlab PSD directly — already in ascending-frequency order — instead of
+    the curscan magnitudes)."""
+    if cfg.b_use_psd:
+        from kspecanal_tpu.ops.spectrum import psd_welch
+        spectrum = psd_welch(iq_re, iq_im, cfg)
+    else:
+        spectrum = curscan(iq_re, iq_im, cfg)
     return display_update(state, spectrum, cfg, adj)
 
 

@@ -195,3 +195,18 @@ def test_scan_via_session_driver(rng):
     assert int(state.sweep) == 2
     assert len(views) == 2
     assert views[0].heatmap.shape[0] == 128
+
+
+def test_zero_span_use_psd_path(rng):
+    """bUsePSD swaps curscan for the Welch PSD (kspecanal.py:374-384)."""
+    import jax
+    from kspecanal_tpu.ops.spectrum import psd_welch
+    from kspecanal_tpu.ops.dsp import log_no_gain
+    cfg = zs_cfg(b_use_psd=True)
+    b = rng.standard_normal(cfg.full_size) + 1j * rng.standard_normal(cfg.full_size)
+    re, im = jnp.asarray(b.real, jnp.float32), jnp.asarray(b.imag, jnp.float32)
+    state = zs.init_state(cfg)
+    state, view = zs.zero_span_step_jit(state, re, im, cfg)
+    want = jax.jit(lambda r, i: log_no_gain(psd_welch(r, i, cfg), cfg.gain))(re, im)
+    np.testing.assert_allclose(np.asarray(state.fft_cur), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
