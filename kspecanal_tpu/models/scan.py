@@ -190,6 +190,82 @@ def band_spectra(iq_re: jax.Array, iq_im: jax.Array, retune_ok: jax.Array,
                                 inf_to=0.0)
 
 
+def _uniform_run(plan: ScanPlan):
+    """Longest run of bands starting at index 1 whose slice geometry
+    relative to ``i_start`` matches band 1's with a constant stride.
+    Returns (run_start=1, run_len, stride) or (1, 0, 0)."""
+    if plan.num_bands < 3:
+        return 1, 0, 0
+    b1 = plan.bands[1]
+    stride = plan.bands[2].i_start - b1.i_start
+
+    def rel(b):
+        return (b.i_end - b.i_start, b.i_done - b.i_start,
+                b.i_old_end - b.i_start, b.s_start, b.s_end, b.s_raw_start)
+
+    want = rel(b1)
+    run = 0
+    for k, b in enumerate(plan.bands[1:]):
+        if b.i_start != b1.i_start + k * stride or rel(b) != want:
+            break
+        run += 1
+    return 1, run, stride
+
+
+# Unroll threshold: plans with more bands than this use the lax.scan fast
+# path over their uniform middle run (quickFullScan has ~1225 bands —
+# unrolling would explode compile time).
+_UNROLL_MAX_BANDS = 64
+
+
+def _stitch_one_band(carry, pr, i_start, b: BandPlan, cfg: SpecConfig,
+                     first_sweep):
+    """Stitch one band's spectrum ``pr`` into the global curves.
+
+    ``b`` supplies the STATIC slice geometry (sizes, relative offsets);
+    ``i_start`` may be traced (lax.scan fast path) or a Python int
+    (unrolled path).  Reproduces kspecanal.py:642-668 exactly.
+    """
+    cur, fmax, fmin, favg = carry
+    # Source-limited: the last band's s_end shrinks when it pokes past the
+    # grid (kspecanal.py:626-629), so the RAW region follows the source.
+    raw_len = b.s_end - b.s_raw_start
+    ovl_len = b.i_old_end - b.i_start
+    i_old_end = i_start + ovl_len
+    # --- Cur stitch: RAW copy of the fresh region (:642-644)
+    seg = jax.lax.slice_in_dim(pr, b.s_raw_start, b.s_raw_start + raw_len)
+    cur = jax.lax.dynamic_update_slice_in_dim(cur, seg, i_old_end, axis=0)
+    # --- overlap-average with the previous band (:645-649)
+    if b.i_old_end != 0 and ovl_len > 0:
+        new_seg = jax.lax.slice_in_dim(pr, b.s_start, b.s_start + ovl_len)
+        cur_seg = jax.lax.dynamic_slice_in_dim(cur, i_start, ovl_len)
+        cur = jax.lax.dynamic_update_slice_in_dim(
+            cur, (cur_seg + new_seg) / 2.0, i_start, axis=0)
+    # --- Max/Min/Avg source selection (:651-662)
+    if cfg.b_scan_range_base_data_is_raw:
+        src_len = b.s_end - b.s_start
+        src_seg = jax.lax.slice_in_dim(pr, b.s_start, b.s_start + src_len)
+        d0 = i_start
+    else:
+        src_len = b.i_done - b.i_start
+        src_seg = jax.lax.dynamic_slice_in_dim(cur, i_start, src_len)
+        d0 = i_start
+    if cfg.b_data_max:
+        old = jax.lax.dynamic_slice_in_dim(fmax, d0, src_len)
+        fmax = jax.lax.dynamic_update_slice_in_dim(
+            fmax, jnp.maximum(old, src_seg), d0, axis=0)
+    if cfg.b_data_min:
+        old = jax.lax.dynamic_slice_in_dim(fmin, d0, src_len)
+        fmin = jax.lax.dynamic_update_slice_in_dim(
+            fmin, jnp.minimum(old, src_seg), d0, axis=0)
+    # Avg always maintained (`if d['bDataAvg'] or True`, :667)
+    old = jax.lax.dynamic_slice_in_dim(favg, d0, src_len)
+    favg = jax.lax.dynamic_update_slice_in_dim(
+        favg, jnp.where(first_sweep, src_seg, (old + src_seg) / 2.0),
+        d0, axis=0)
+    return (cur, fmax, fmin, favg)
+
+
 def stitch_sweep(state: ScanState, spectra_db: jax.Array, cfg: SpecConfig,
                  plan: ScanPlan) -> ScanState:
     """Fold one sweep's band spectra into the global stitched curves.
@@ -199,37 +275,52 @@ def stitch_sweep(state: ScanState, spectra_db: jax.Array, cfg: SpecConfig,
       Max/Min/Avg: cumulated over [iStart:iDone] from stitched Cur (default)
                    or from the raw band spectrum (bScanRangeBaseDataIsRaw);
                    first sweep (runCount==0) uses RAW for Avg (:615-618).
+
+    Large sweeps (quickFullScan: 1000+ bands) fold their uniform middle run
+    through lax.scan instead of unrolling — same math, O(1) program size.
     """
     first_sweep = state.sweep == 0
-    cur, fmax, fmin, favg = (state.fft_cur, state.fft_max,
-                             state.fft_min, state.fft_avg)
+    carry = (state.fft_cur, state.fft_max, state.fft_min, state.fft_avg)
+
+    if plan.num_bands > _UNROLL_MAX_BANDS:
+        run_start, run_len, stride = _uniform_run(plan)
+        if run_len >= plan.num_bands - 3:
+            # band 0 unrolled
+            carry = _stitch_one_band(carry, spectra_db[0],
+                                     plan.bands[0].i_start, plan.bands[0],
+                                     cfg, first_sweep)
+            # uniform middle via lax.scan
+            b1 = plan.bands[run_start]
+
+            def scan_body(c, xs):
+                pr, i_start = xs
+                return (_stitch_one_band(c, pr, i_start, b1, cfg,
+                                         first_sweep), None)
+
+            i_starts = jnp.asarray(
+                [plan.bands[run_start + k].i_start for k in range(run_len)],
+                jnp.int32)
+            carry, _ = jax.lax.scan(
+                scan_body, carry,
+                (spectra_db[run_start:run_start + run_len], i_starts))
+            # tail bands unrolled
+            for bi in range(run_start + run_len, plan.num_bands):
+                b = plan.bands[bi]
+                carry = _stitch_one_band(carry, spectra_db[bi], b.i_start,
+                                         b, cfg, first_sweep)
+            cur, fmax, fmin, favg = carry
+            row = dsp.compress_1d(favg, cfg.plt_compress_hm, cfg.x_res)
+            heatmap = state.heatmap.at[state.hm_index].set(row)
+            return ScanState(fmax, fmin, favg, cur, heatmap,
+                             (state.hm_index + 1) % HEATMAP_ROWS,
+                             state.sweep + 1)
+        # non-uniform large plan: fall through to unrolled (rare)
+
+    # Unrolled fold (small plans): same band-stitch helper as the fast path.
     for bi, b in enumerate(plan.bands):
-        pr = spectra_db[bi]
-        # --- Cur stitch (:642-650)
-        cur = dsp.cumulate_range(CUMU_RAW, cur, b.i_old_end, b.i_end,
-                                 pr, b.s_raw_start, b.s_end)
-        if b.i_old_end != 0 and b.i_old_end > b.i_start:
-            s_avg_end = b.s_start + (b.i_old_end - b.i_start)
-            cur = dsp.cumulate_range(CUMU_AVG, cur, b.i_start, b.i_old_end,
-                                     pr, b.s_start, s_avg_end)
-        # --- Max/Min/Avg source selection (:651-662)
-        if cfg.b_scan_range_base_data_is_raw:
-            src, s0, s1 = pr, b.s_start, b.s_end
-            # dest [iStart:iEnd] truncates in numpy when iEnd > grid end;
-            # keep lengths equal to the (already shrunk) source slice.
-            d0, d1 = b.i_start, b.i_start + (b.s_end - b.s_start)
-        else:
-            src, s0, s1 = cur, b.i_start, b.i_done
-            d0, d1 = b.i_start, b.i_done
-        if cfg.b_data_max:
-            fmax = dsp.cumulate_range(CUMU_MAX, fmax, d0, d1, src, s0, s1)
-        if cfg.b_data_min:
-            fmin = dsp.cumulate_range(CUMU_MIN, fmin, d0, d1, src, s0, s1)
-        # Avg always maintained (`if d['bDataAvg'] or True`, :667)
-        seg_new = jax.lax.slice_in_dim(src, s0, s1)
-        seg_cur = jax.lax.slice_in_dim(favg, d0, d1)
-        seg = jnp.where(first_sweep, seg_new, (seg_cur + seg_new) / 2.0)
-        favg = jax.lax.dynamic_update_slice_in_dim(favg, seg, d0, axis=0)
+        carry = _stitch_one_band(carry, spectra_db[bi], b.i_start, b, cfg,
+                                 first_sweep)
+    cur, fmax, fmin, favg = carry
     # Heatmap row from compressed Avg, once per sweep (:696-697)
     row = dsp.compress_1d(favg, cfg.plt_compress_hm, cfg.x_res)
     heatmap = state.heatmap.at[state.hm_index].set(row)

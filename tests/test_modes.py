@@ -210,3 +210,53 @@ def test_zero_span_use_psd_path(rng):
     want = jax.jit(lambda r, i: log_no_gain(psd_welch(r, i, cfg), cfg.gain))(re, im)
     np.testing.assert_allclose(np.asarray(state.fft_cur), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_scan_fast_path_matches_unrolled(rng):
+    """The lax.scan stitch (used for >64-band sweeps) == the unrolled fold."""
+    import kspecanal_tpu.models.scan as scan_module
+    # 40 groups -> 80 bands: above a temporarily-lowered unroll threshold
+    cfg = SpecConfig(prg_mode=MODE_SCAN, start_freq=100e6, end_freq=180e6,
+                     sampling_rate=2e6, fft_size=64, x_res=64,
+                     window=WINDOW_HANNING, cur_scan_non_overlap=0.5,
+                     scan_range_non_overlap=0.5).finalize()
+    plan = scan_mod.make_scan_plan(cfg)
+    assert plan.num_bands > 64
+    B = plan.num_bands
+    re = jnp.asarray(rng.standard_normal((B, cfg.full_size)), jnp.float32)
+    im = jnp.asarray(rng.standard_normal((B, cfg.full_size)), jnp.float32)
+    oks = jnp.ones(B, bool)
+    # fast path (default threshold)
+    s_fast = scan_mod.init_state(cfg, plan)
+    for _ in range(2):
+        s_fast = scan_mod.sweep_step_jit(s_fast, re, im, oks, cfg, plan)
+    # force unrolled
+    old = scan_module._UNROLL_MAX_BANDS
+    scan_module._UNROLL_MAX_BANDS = 10_000
+    scan_mod.sweep_step_jit.clear_cache()
+    try:
+        s_slow = scan_mod.init_state(cfg, plan)
+        for _ in range(2):
+            s_slow = scan_mod.sweep_step_jit(s_slow, re, im, oks, cfg, plan)
+    finally:
+        scan_module._UNROLL_MAX_BANDS = old
+        scan_mod.sweep_step_jit.clear_cache()
+    for a, b in zip(s_fast[:5], s_slow[:5]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_quickfullscan_plan_compiles(rng):
+    """The quickFullScan preset (30e6-1.5e9, fftSize 64 -> 1225 bands) must
+    build its plan and run one sweep in reasonable time via the fast path."""
+    from kspecanal_tpu.cli import parse_args
+    cfg, _ = parse_args(["quickFullScan"])
+    plan = scan_mod.make_scan_plan(cfg)
+    assert plan.num_bands > 1000
+    B = plan.num_bands
+    re = jnp.zeros((B, cfg.full_size), jnp.float32)
+    im = jnp.zeros((B, cfg.full_size), jnp.float32)
+    oks = jnp.ones(B, bool)
+    state = scan_mod.init_state(cfg, plan)
+    state = scan_mod.sweep_step_jit(state, re, im, oks, cfg, plan)
+    assert state.fft_cur.shape == (plan.total_entries,)
