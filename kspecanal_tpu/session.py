@@ -16,6 +16,7 @@ import dataclasses
 import time
 from typing import Callable, Iterator, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -117,24 +118,33 @@ def run_zero_span_save(sess: Session, max_iters: Optional[int] = None) -> int:
     reference skips plotting to sample more often (README.rst:260-263);
     here the spectra additionally batch through one lax.scan device call
     per chunk for throughput."""
+    from kspecanal_tpu.ops.spectrum import curscan_auto_batched
+
     cfg = sess.cfg
     assert sess.source is not None
     sess.source.retune(cfg.center_freq, cfg.sampling_rate, cfg.gain)
     n = cfg.prg_loop_cnt if max_iters is None else max_iters
-    chunk = 8  # device steps per dispatch
-    state = zs.init_state(cfg)
+    chunk = 8  # device iterations per dispatch
+    # Recorded frames are per-iteration curscans only — no cross-iteration
+    # state and no display work (the reference skips plotting here too,
+    # kspecanal.py:509-526) — so the device program is just the batched
+    # curscan.
+    run = jax.jit(lambda r, i: curscan_auto_batched(r, i, cfg))
     written = 0
     with ZeroSpanRecorder(cfg.zero_span_save_file, cfg.center_freq,
                           cfg.sampling_rate, cfg.gain) as rec:
         while written < n and not sess.stop:
             k = min(chunk, n - written)
-            blocks = [sess.source.read(cfg.full_size) for _ in range(k)]
-            re = jnp.asarray(np.stack([b[0] for b in blocks]))
-            im = jnp.asarray(np.stack([b[1] for b in blocks]))
-            state, spectra = zs.zero_span_multi_step_jit(state, re, im, cfg, k)
+            with sess.timer.stage("acquire", k * cfg.full_size):
+                blocks = [sess.source.read(cfg.full_size) for _ in range(k)]
+                re = jnp.asarray(np.stack([b[0] for b in blocks]))
+                im = jnp.asarray(np.stack([b[1] for b in blocks]))
+            with sess.timer.stage("dsp", k * cfg.full_size):
+                spectra = run(re, im)
             now = time.time()
-            for j, spec in enumerate(np.asarray(spectra, np.float64)):
-                rec.append(spec, timestamp=now)
+            with sess.timer.stage("persist"):
+                for spec in np.asarray(spectra, np.float64):
+                    rec.append(spec, timestamp=now)
             written += k
     return written
 
@@ -155,20 +165,32 @@ def run_zero_span_play(sess: Session, max_iters: Optional[int] = None
         cfg, prg_mode=MODE_ZEROSPAN, center_freq=h.center_freq,
         sampling_rate=h.sampling_rate, gain=h.gain,
         start_freq=None, end_freq=None).finalize()
-    state = zs.init_state(cfg)
+    state = None
     adj = None if sess.adj is None else jnp.asarray(sess.adj)
     n = cfg.prg_loop_cnt if max_iters is None else max_iters
     with player:
         for i, (ts, frame) in enumerate(player.frames()):
             if i >= n or sess.stop:
                 break
+            if state is None:
+                # The save header carries fC/fS/gain but not fftSize
+                # (kspecanal.py:512-514); adapt to the recorded frame
+                # length (the reference implicitly does via len(fftPr)).
+                if len(frame) != cfg.fft_size:
+                    log_warn(f"zeroSpanPlay: fftSize[{cfg.fft_size}] -> "
+                             f"recorded frame length [{len(frame)}]")
+                    cfg = sess.cfg = dataclasses.replace(
+                        cfg, fft_size=len(frame),
+                        x_res=min(cfg.x_res, len(frame))).finalize()
+                state = zs.init_state(cfg)
             spec = jnp.asarray(np.asarray(frame, np.float32))
             if adj is None:
                 state, view = zs.display_update_jit(state, spec, cfg)
             else:
                 state, view = zs.display_update_adj_jit(state, spec, adj, cfg)
             sess._emit(view, i, ZeroSpanPlayer.format_timestamp(ts))
-    sess.final_avg = np.asarray(state.fft_avg, np.float64)
+    if state is not None:
+        sess.final_avg = np.asarray(state.fft_avg, np.float64)
     return state
 
 
