@@ -32,3 +32,27 @@ def make_mesh(time: int = 1, band: int = 1,
                          f"have {len(devs)}")
     arr = np.asarray(devs[:need]).reshape(time, band)
     return Mesh(arr, axis_names=("time", "band"))
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up: ``jax.distributed.initialize`` wrapper.
+
+    On a multi-host pod slice each host calls this before any jax use; the
+    global device list then spans the slice and :func:`make_mesh` lays the
+    'time'/'band' axes across ICI within a host's chips and DCN across
+    hosts (put 'band' — one all-gather per sweep — on the DCN edge and
+    'time' — per-step halo ppermute — on ICI; axis order in make_mesh's
+    reshape does exactly that when ``time`` divides the per-host chip
+    count).  No-op when jax.distributed is already initialized or args are
+    absent and the environment provides none (single-host dev).
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id)
+    except (RuntimeError, ValueError):
+        # already initialized, or single-process environment
+        pass
