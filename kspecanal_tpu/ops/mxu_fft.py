@@ -37,9 +37,22 @@ import numpy as np
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 
-@functools.lru_cache(maxsize=32)
+# Per-size factor overrides (n -> (n1, n2)), tuned on hardware; see
+# scripts/perf_probe.py.  The stage-1 matmul contracts n1, so MXU-sized n1
+# (128) can beat the balanced split even though total FLOPs rise.
+# Measured (fused kernel, Gsamp/s): 2048: (64,32)=1.80 (128,16)=2.02;
+# 4096: (64,64)=2.93 best; 16384: (128,128)=5.0 best.
+FACTOR_OVERRIDES: dict = {2048: (128, 16)}
+
+
+@functools.lru_cache(maxsize=64)
 def _factorize(n: int) -> Tuple[int, int]:
-    """Split n = n1*n2 with n1 >= n2, both as close to sqrt(n) as we can."""
+    """Split n = n1*n2 with n1 >= n2, both as close to sqrt(n) as we can
+    (unless overridden in FACTOR_OVERRIDES)."""
+    if n in FACTOR_OVERRIDES:
+        n1, n2 = FACTOR_OVERRIDES[n]
+        assert n1 * n2 == n
+        return (n1, n2)
     best = (n, 1)
     r = int(np.sqrt(n))
     for n2 in range(r, 0, -1):
