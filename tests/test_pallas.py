@@ -24,7 +24,7 @@ def test_mxu_fft_matches_numpy(rng):
 
 def test_factorize():
     assert _factorize(16384) == (128, 128)
-    assert _factorize(2048) == (64, 32)
+    assert _factorize(2048) == (128, 16)  # hardware-tuned override
     assert _factorize(64) == (8, 8)
     assert _factorize(13) == (13, 1)  # prime -> XLA fallback
 
