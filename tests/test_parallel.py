@@ -155,3 +155,29 @@ def test_chunked_stream_matches_monolithic(rng):
                                np.asarray(mono.fft_cur), rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(chunked.rows, np.asarray(mono.rows),
                                rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("shards", [2, 4, 8])
+def test_fft_sharded_curscan_matches_single(rng, shards):
+    """Tensor-parallel (bin-axis sharded) curscan == single-device."""
+    from kspecanal_tpu.parallel.fftshard import (curscan_fft_sharded,
+                                                 supports_fft_sharding)
+    cfg = SpecConfig(fft_size=2048, sampling_rate=2.4e6, window=WINDOW_KAISER,
+                     cur_scan_non_overlap=0.5, cur_scan_cumu_mode=CUMU_AVG)
+    assert supports_fft_sharding(cfg, shards)
+    re, im = iq_pair(rng, cfg.full_size)
+    mesh = make_mesh(time=shards)
+    got = np.asarray(curscan_fft_sharded(re, im, cfg, mesh))
+    want = np.asarray(curscan_jit(re, im, cfg))
+    np.testing.assert_allclose(got, want, rtol=5e-5, atol=1e-6)
+
+
+def test_fft_sharded_max_mode(rng):
+    from kspecanal_tpu.parallel.fftshard import curscan_fft_sharded
+    cfg = SpecConfig(fft_size=2048, sampling_rate=2.4e6, window=WINDOW_HANNING,
+                     cur_scan_non_overlap=0.5, cur_scan_cumu_mode=CUMU_MAX)
+    re, im = iq_pair(rng, cfg.full_size)
+    mesh = make_mesh(time=4)
+    got = np.asarray(curscan_fft_sharded(re, im, cfg, mesh))
+    want = np.asarray(curscan_jit(re, im, cfg))
+    np.testing.assert_allclose(got, want, rtol=5e-5, atol=1e-6)
