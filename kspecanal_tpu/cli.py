@@ -40,6 +40,8 @@ class RunOptions:
     headless: bool = False
     mesh_time: int = 1
     mesh_band: int = 1
+    prefetch: bool = False   # background read-ahead pipeline (io/prefetch)
+    profile_dir: str = ""    # jax.profiler trace output directory
 
 
 class CliError(ValueError):
@@ -85,6 +87,8 @@ _RUNOPT_KEYMAP = {
     "TPUHEADLESS": ("headless", _boolean),
     "TPUMESHTIME": ("mesh_time", int),
     "TPUMESHBAND": ("mesh_band", int),
+    "TPUPREFETCH": ("prefetch", _boolean),
+    "TPUPROFILE": ("profile_dir", str),
 }
 
 
@@ -172,6 +176,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     source = None
     if cfg.prg_mode != MODE_ZEROSPANPLAY:
         source = make_source(cfg, run)
+        if run.prefetch:
+            from kspecanal_tpu.io.prefetch import PrefetchingSource
+            source = PrefetchingSource(source, block_size=cfg.full_size)
 
     renderer = None
     if not run.headless:
@@ -188,12 +195,15 @@ def main(argv: Optional[List[str]] = None) -> int:
         sess.stop = True
 
     signal.signal(signal.SIGINT, _sigint)
+    from kspecanal_tpu.utils.profiling import trace
     try:
-        sess_mod.do_run(sess)
+        with trace(run.profile_dir or None):
+            sess_mod.do_run(sess)
     finally:
         if source is not None:
             source.close()
         sess.save_baseline()
+        sess.timer.log_report()
     return 0
 
 

@@ -1,0 +1,104 @@
+"""Pipelined ingest: a background-thread read-ahead wrapper for IQ sources
+(SURVEY.md §2.3 PP row — host ingest / device DSP / host render overlap).
+
+The session drivers dispatch device steps asynchronously, so the remaining
+serial cost in the loop is the host-side source read (file decode, tone
+synthesis, USB).  Wrapping the source in :class:`PrefetchingSource` moves
+those reads to a worker thread with a bounded queue, overlapping them with
+device compute — a two-stage pipeline without any change to the drivers.
+
+Retunes flush the queue (a retune invalidates prefetched blocks — scan
+mode retunes per band, so prefetch pays off mainly in zero-span/record
+modes where the tuning is fixed).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+Planes = Tuple[np.ndarray, np.ndarray]
+
+
+class PrefetchingSource:
+    """Wraps any IQSource; ``read(n)`` returns prefetched blocks when the
+    requested size matches the configured block size, else reads through."""
+
+    def __init__(self, inner, block_size: int, depth: int = 4):
+        self._inner = inner
+        self._block = block_size
+        self._q: "queue.Queue[Planes]" = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self._gen = threading.Event()
+        self._gen.set()
+        self._worker = threading.Thread(target=self._fill, daemon=True)
+        self._lock = threading.Lock()
+        self._worker.start()
+
+    # -- source protocol ---------------------------------------------------
+    @property
+    def center_freq(self):
+        return self._inner.center_freq
+
+    @property
+    def sample_rate(self):
+        return self._inner.sample_rate
+
+    @property
+    def gain(self):
+        return self._inner.gain
+
+    def read(self, n: int) -> Planes:
+        if n != self._block:
+            with self._lock:
+                return self._inner.read(n)
+        while True:
+            try:
+                return self._q.get(timeout=0.1)
+            except queue.Empty:
+                if self._stop.is_set():
+                    with self._lock:
+                        return self._inner.read(n)
+
+    def retune(self, center_freq, sample_rate, gain) -> bool:
+        self._gen.clear()          # pause the worker
+        with self._lock:
+            ok = self._inner.retune(center_freq, sample_rate, gain)
+            # drop now-stale prefetched blocks
+            while True:
+                try:
+                    self._q.get_nowait()
+                except queue.Empty:
+                    break
+        self._gen.set()
+        return ok
+
+    def close(self):
+        self._stop.set()
+        self._gen.set()
+        self._worker.join(timeout=2.0)
+        self._inner.close()
+
+    # -- worker ------------------------------------------------------------
+    def _fill(self):
+        while not self._stop.is_set():
+            self._gen.wait(timeout=0.1)
+            if not self._gen.is_set():
+                continue
+            with self._lock:
+                if self._stop.is_set():
+                    return
+                block = self._inner.read(self._block)
+            try:
+                self._q.put(block, timeout=0.5)
+            except queue.Full:
+                # consumer is slower than the source; drop nothing, retry —
+                # put() re-attempted with the same block next loop
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(block, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue

@@ -96,3 +96,39 @@ def test_native_decoder_matches_numpy(rng):
     re2, im2 = native_iq.split_complex64(z)
     np.testing.assert_allclose(re2, z.real)
     np.testing.assert_allclose(im2, z.imag)
+
+
+def test_prefetching_source(rng):
+    from kspecanal_tpu.io.prefetch import PrefetchingSource
+    inner = SynthIQSource(center_freq=92e6, sample_rate=2.4e6, seed=5)
+    src = PrefetchingSource(inner, block_size=4096, depth=2)
+    try:
+        re, im = src.read(4096)
+        assert re.shape == (4096,) and re.dtype == np.float32
+        # pass-through for non-block sizes
+        re2, im2 = src.read(100)
+        assert re2.shape == (100,)
+        # retune flushes and still works
+        assert src.retune(95e6, 2.4e6, 10.0)
+        assert src.center_freq == 95e6
+        re3, _ = src.read(4096)
+        assert re3.shape == (4096,)
+    finally:
+        src.close()
+
+
+def test_prefetching_source_in_session(rng):
+    from kspecanal_tpu.io.prefetch import PrefetchingSource
+    from kspecanal_tpu import session as sess_mod
+    cfg = SpecConfig(prg_mode="ZEROSPAN", fft_size=128, sampling_rate=2.4e6,
+                     x_res=128).finalize()
+    src = PrefetchingSource(
+        SynthIQSource(center_freq=cfg.center_freq,
+                      sample_rate=cfg.sampling_rate, seed=6),
+        block_size=cfg.full_size)
+    try:
+        sess = sess_mod.Session(cfg, src)
+        state = sess_mod.run_zero_span(sess, max_iters=4)
+        assert int(state.iteration) == 4
+    finally:
+        src.close()
