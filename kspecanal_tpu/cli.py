@@ -188,7 +188,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         except Exception as e:  # no display / no matplotlib backend
             log_info(f"GUI unavailable ({e}); running headless")
 
-    sess = sess_mod.Session(cfg, source, renderer)
+    mesh = None
+    if run.mesh_time > 1 or run.mesh_band > 1:
+        from kspecanal_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(time=run.mesh_time, band=run.mesh_band)
+
+    sess = sess_mod.Session(cfg, source, renderer, mesh=mesh)
 
     def _sigint(signum, stack):  # kspecanal.py:1118-1123
         log_info("sigint: quiting on user request...")

@@ -36,10 +36,11 @@ class Session:
     stop flag, timing trace."""
 
     def __init__(self, cfg: SpecConfig, source: Optional[IQSource] = None,
-                 renderer: Optional[Callable] = None):
+                 renderer: Optional[Callable] = None, mesh=None):
         self.cfg = cfg
         self.source = source
         self.renderer = renderer
+        self.mesh = mesh             # optional jax.sharding.Mesh (time, band)
         self.stop = False            # cmd.stop analog (kspecanal.py:970)
         self.adj: Optional[np.ndarray] = None   # Fft.Adj baseline
         self.final_avg: Optional[np.ndarray] = None
@@ -234,7 +235,13 @@ def run_scan(sess: Session, max_sweeps: Optional[int] = None
         sess.iter_times.append(cur - prev)
         prev = cur
         re, im, oks = sweep_bands(sess, plan)
-        state = scan_mod.sweep_step_jit(state, re, im, oks, cfg, plan)
+        if sess.mesh is not None and sess.mesh.shape.get("band", 1) > 1:
+            from kspecanal_tpu.parallel.bandshard import \
+                sweep_step_band_sharded
+            state = sweep_step_band_sharded(state, re, im, oks, cfg, plan,
+                                            sess.mesh)
+        else:
+            state = scan_mod.sweep_step_jit(state, re, im, oks, cfg, plan)
         if sess.renderer is not None:
             view = scan_mod.scan_view(state, cfg, plan, adj)
             sess._emit(view, i)

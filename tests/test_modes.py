@@ -260,3 +260,20 @@ def test_quickfullscan_plan_compiles(rng):
     state = scan_mod.init_state(cfg, plan)
     state = scan_mod.sweep_step_jit(state, re, im, oks, cfg, plan)
     assert state.fft_cur.shape == (plan.total_entries,)
+
+
+def test_scan_session_with_band_mesh(rng):
+    """Session driver runs the band-sharded sweep when a mesh is provided."""
+    from kspecanal_tpu.parallel.mesh import make_mesh
+    cfg = scan_cfg()
+    src = SynthIQSource(sample_rate=cfg.sampling_rate, seed=12)
+    mesh = make_mesh(time=1, band=4)
+    sess = sess_mod.Session(cfg, src, mesh=mesh)
+    state = sess_mod.run_scan(sess, max_sweeps=1)
+    # equal to the unsharded driver on the same source sequence
+    src2 = SynthIQSource(sample_rate=cfg.sampling_rate, seed=12)
+    sess2 = sess_mod.Session(cfg, src2)
+    state2 = sess_mod.run_scan(sess2, max_sweeps=1)
+    np.testing.assert_allclose(np.asarray(state.fft_cur),
+                               np.asarray(state2.fft_cur),
+                               rtol=1e-5, atol=1e-5)
