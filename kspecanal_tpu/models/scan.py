@@ -25,10 +25,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from kspecanal_tpu.config import (CUMU_AVG, CUMU_MAX, CUMU_MIN, CUMU_RAW,
-                                  HEATMAP_ROWS, SpecConfig)
+from kspecanal_tpu.config import HEATMAP_ROWS, SpecConfig
 from kspecanal_tpu.ops import dsp
-from kspecanal_tpu.ops.spectrum import curscan_batched
+from kspecanal_tpu.ops.spectrum import curscan_auto_batched
 
 
 @dataclasses.dataclass(frozen=True)
@@ -178,7 +177,7 @@ def band_spectra(iq_re: jax.Array, iq_im: jax.Array, retune_ok: jax.Array,
     Returns (num_bands, fft_size) dB spectra after the scan display chain:
     curscan -> sentinel substitution -> Clip2MinAmp -> LogNoGain(infTo=0)
     (kspecanal.py:635-641)."""
-    lin = curscan_batched(iq_re, iq_im, cfg)
+    lin = curscan_auto_batched(iq_re, iq_im, cfg)
     # Failed retune -> all-ones band (~ -gain dB marker) kspecanal.py:637-639
     lin = jnp.where(retune_ok[:, None], lin, jnp.ones_like(lin))
     clip = cfg.scan_clip_proc

@@ -19,7 +19,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 

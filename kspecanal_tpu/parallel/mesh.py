@@ -20,7 +20,7 @@ from typing import Optional, Sequence
 
 import jax
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P  # noqa: F401
+from jax.sharding import Mesh  # noqa: F401
 
 
 def make_mesh(time: int = 1, band: int = 1,

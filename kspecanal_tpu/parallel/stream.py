@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from kspecanal_tpu.config import CUMU_AVG, SpecConfig, cumu_weights
 from kspecanal_tpu.ops import dsp

@@ -22,7 +22,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from kspecanal_tpu.config import SpecConfig, WINDOWS, window_lut
+from kspecanal_tpu.config import SpecConfig, WINDOWS
 from kspecanal_tpu.io.sources import load_rtlsdr_capture
 from kspecanal_tpu.ops.spectrum import curscan_auto_batched
 from kspecanal_tpu.utils.logging import log_info
