@@ -110,6 +110,15 @@ def run_zero_span(sess: Session, max_iters: Optional[int] = None
                     state, jnp.asarray(re), jnp.asarray(im), adj, cfg)
         with sess.timer.stage("render"):
             sess._emit(view, i)
+        # Apply pending GUI toggles at the step boundary (the reference's
+        # buttons mutate shared state mid-loop, kspecanal.py:994-1053; here
+        # the config stays immutable per step and a toggle rebuilds the
+        # cached jitted step).
+        if sess.renderer is not None and hasattr(sess.renderer,
+                                                 "apply_toggles"):
+            new_cfg = sess.renderer.apply_toggles(cfg)
+            if new_cfg != cfg:
+                cfg = sess.cfg = new_cfg
     sess.final_avg = np.asarray(state.fft_avg, np.float64)
     return state
 

@@ -132,3 +132,39 @@ def test_prefetching_source_in_session(rng):
         assert int(state.iteration) == 4
     finally:
         src.close()
+
+
+def test_toggles_applied_at_step_boundary(rng):
+    """Flipping a curve button mid-run changes the effective config for
+    subsequent steps (applied between iterations, not mid-step)."""
+    matplotlib = pytest.importorskip("matplotlib")
+    matplotlib.use("Agg", force=True)
+    from kspecanal_tpu.gui import MatplotlibRenderer
+    from kspecanal_tpu import session as sess_mod
+
+    cfg = SpecConfig(prg_mode="ZEROSPAN", fft_size=128, sampling_rate=2.4e6,
+                     x_res=128).finalize()
+    r = MatplotlibRenderer(cfg, interactive=False)
+    calls = {"n": 0}
+    orig_call = r.__call__
+
+    def counting_call(sess, view, peaks, i, ts):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            r.toggles["b_data_min"] = False  # simulate button press
+        orig_call(sess, view, peaks, i, ts)
+
+    r_wrapper = counting_call
+    src = SynthIQSource(center_freq=cfg.center_freq,
+                        sample_rate=cfg.sampling_rate, seed=9)
+    sess = sess_mod.Session(cfg, src, renderer=None)
+    # attach manually so _emit uses the wrapper but apply_toggles the real r
+    class R:
+        def __call__(self, *a):
+            return r_wrapper(*a)
+        def apply_toggles(self, c):
+            return r.apply_toggles(c)
+    sess.renderer = R()
+    sess_mod.run_zero_span(sess, max_iters=4)
+    assert sess.cfg.b_data_min is False
+    r.close()
