@@ -79,6 +79,33 @@ def _progress(msg):
     print(f"# {msg}", file=sys.stderr, flush=True)
 
 
+def scan_sweep_samples_per_s(iters: int = 10) -> float:
+    """FM-scan sweeps (88-108 MHz, scanRangeNonOverlap 0.5): batched band
+    curscans + the jitted overlap-average stitch fold."""
+    import jax
+    import jax.numpy as jnp
+    from kspecanal_tpu.cli import parse_args
+    from kspecanal_tpu.models import scan as scan_mod
+
+    cfg, _ = parse_args(["fmScan", "fftSize", "2048"])
+    plan = scan_mod.make_scan_plan(cfg)
+    b = plan.num_bands
+    mk = jax.jit(lambda k: jax.random.normal(
+        k, (2, b, cfg.full_size), jnp.float32))
+    planes = mk(jax.random.key(0))
+    re, im = planes[0], planes[1]
+    oks = jnp.ones(b, bool)
+    state = scan_mod.init_state(cfg, plan)
+    state = scan_mod.sweep_step_jit(state, re, im, oks, cfg, plan)
+    _ = float(state.fft_avg[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state = scan_mod.sweep_step_jit(state, re, im, oks, cfg, plan)
+    _ = float(state.fft_avg[0])
+    dt = (time.perf_counter() - t0) / iters
+    return b * cfg.full_size / dt
+
+
 def main():
     from kspecanal_tpu.config import SpecConfig, WINDOW_KAISER
 
@@ -102,6 +129,10 @@ def main():
         _progress(f"sweep fft{fft_size}...")
         details[f"fft{fft_size}"] = {
             "tpu": device_samples_per_s(c, t_blocks=t_blocks)}
+
+    # Scan mode (BASELINE config 3): full FM sweep (17 bands, stitch fold)
+    _progress("fm scan sweep...")
+    details["fm_scan"] = {"tpu": scan_sweep_samples_per_s()}
 
     result = {
         "metric": "IQ samples/s/chip through windowed-FFT+waterfall chain "
