@@ -1,0 +1,59 @@
+"""Multi-device scaling-efficiency measurement (BASELINE.md: >=80% samples/s
+scaling at 1 chip / 1 host / N hosts).
+
+Runs the sharded streaming waterfall over 1..num_devices shards of the
+'time' mesh axis and reports samples/s + efficiency vs linear scaling.
+On this single-chip environment it exercises the virtual CPU mesh (a
+correctness/plumbing check); on a pod slice it measures real ICI scaling.
+
+Usage: [XLA_FLAGS=--xla_force_host_platform_device_count=8] \
+       python scripts/scaling_bench.py [fft_size] [blocks_per_device]
+"""
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(fft_size=2048, blocks_per_dev=64):
+    from kspecanal_tpu.config import SpecConfig, WINDOW_KAISER
+    from kspecanal_tpu.parallel.mesh import make_mesh
+    from kspecanal_tpu.parallel.stream import waterfall_stream_sharded
+
+    cfg = SpecConfig(prg_mode="ZEROSPAN", fft_size=fft_size,
+                     sampling_rate=2.4e6, window=WINDOW_KAISER,
+                     cur_scan_non_overlap=0.5, x_res=512).finalize()
+    n_dev = len(jax.devices())
+    sizes = [s for s in (1, 2, 4, 8, 16, 32) if s <= n_dev]
+    base_rate = None
+    for s in sizes:
+        mesh = make_mesh(time=s)
+        t = blocks_per_dev * s
+        mk = jax.jit(lambda k: jax.random.normal(
+            k, (2, t, cfg.full_size), jnp.float32))
+        planes = mk(jax.random.key(0))
+        re, im = planes[0], planes[1]
+        res = waterfall_stream_sharded(re, im, cfg, mesh)
+        _ = float(res.fft_avg[0])
+        t0 = time.perf_counter()
+        iters = 5
+        for _ in range(iters):
+            res = waterfall_stream_sharded(re, im, cfg, mesh)
+        _ = float(res.fft_avg[0])
+        dt = (time.perf_counter() - t0) / iters
+        rate = t * cfg.full_size / dt
+        if base_rate is None:
+            base_rate = rate
+        eff = rate / (base_rate * s)
+        print(f"shards={s:3d}  {rate/1e9:7.2f} Gsamp/s  "
+              f"scaling-efficiency={eff*100:5.1f}%", flush=True)
+
+
+if __name__ == "__main__":
+    fft = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+    bpd = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    main(fft, bpd)
