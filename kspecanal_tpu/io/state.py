@@ -1,0 +1,54 @@
+"""Checkpoint / resume of mode state (curves + waterfall ring).
+
+The reference's only persistence is session recordings and signal-level
+baselines (SURVEY.md §5 checkpoint); long zero-span/scan monitoring runs
+lose their accumulated max/min/avg curves and waterfall history on any
+restart.  These helpers snapshot the full jitted-step state to a .npz so a
+session can resume exactly where it stopped (the TPU-native analog of
+training checkpoint/resume).
+
+Format: one .npz with the state fields plus a config fingerprint; loading
+validates the fingerprint (fft size / frequency plan must match, same rule
+the baseline loader applies at kspecanal.py:759-763).
+"""
+from __future__ import annotations
+
+from typing import Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from kspecanal_tpu.config import SpecConfig
+from kspecanal_tpu.models.scan import ScanState
+from kspecanal_tpu.models.zerospan import ZeroSpanState
+from kspecanal_tpu.utils.logging import log_warn
+
+_STATE_TYPES = {"zerospan": ZeroSpanState, "scan": ScanState}
+
+
+def _fingerprint(cfg: SpecConfig) -> np.ndarray:
+    return np.asarray([cfg.fft_size, cfg.start_freq or 0.0,
+                       cfg.end_freq or 0.0, cfg.sampling_rate, cfg.gain],
+                      np.float64)
+
+
+def save_state(path: str, state: Union[ZeroSpanState, ScanState],
+               cfg: SpecConfig) -> None:
+    kind = "zerospan" if isinstance(state, ZeroSpanState) else "scan"
+    arrays = {f: np.asarray(getattr(state, f)) for f in state._fields}
+    np.savez(path, __kind__=kind, __fingerprint__=_fingerprint(cfg),
+             **arrays)
+
+
+def load_state(path: str, cfg: SpecConfig):
+    """Returns the restored state, or None if the checkpoint does not match
+    the current config (mirroring the baseline loader's disable-on-mismatch
+    behavior, kspecanal.py:759-763)."""
+    with np.load(path, allow_pickle=False) as z:
+        kind = str(z["__kind__"])
+        if not np.array_equal(z["__fingerprint__"], _fingerprint(cfg)):
+            log_warn(f"load_state: {path} was written for a different "
+                     f"config; ignoring")
+            return None
+        cls = _STATE_TYPES[kind]
+        return cls(**{f: jnp.asarray(z[f]) for f in cls._fields})

@@ -168,3 +168,28 @@ def test_toggles_applied_at_step_boundary(rng):
     sess_mod.run_zero_span(sess, max_iters=4)
     assert sess.cfg.b_data_min is False
     r.close()
+
+
+def test_state_checkpoint_roundtrip(tmp_path, rng):
+    import jax.numpy as jnp
+    from kspecanal_tpu.io.state import load_state, save_state
+    from kspecanal_tpu.models import zerospan as zs
+    from kspecanal_tpu import session as sess_mod
+
+    cfg = SpecConfig(prg_mode="ZEROSPAN", fft_size=128, sampling_rate=2.4e6,
+                     x_res=128).finalize()
+    src = SynthIQSource(center_freq=cfg.center_freq,
+                        sample_rate=cfg.sampling_rate, seed=13)
+    sess = sess_mod.Session(cfg, src)
+    state = sess_mod.run_zero_span(sess, max_iters=3)
+    p = str(tmp_path / "ckpt.npz")
+    save_state(p, state, cfg)
+    restored = load_state(p, cfg)
+    assert restored is not None
+    for f in state._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(restored, f)),
+                                      np.asarray(getattr(state, f)))
+    # mismatched config -> refused
+    import dataclasses
+    other = dataclasses.replace(cfg, fft_size=256, x_res=256)
+    assert load_state(p, other) is None
