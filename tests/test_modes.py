@@ -277,3 +277,29 @@ def test_scan_session_with_band_mesh(rng):
     np.testing.assert_allclose(np.asarray(state.fft_cur),
                                np.asarray(state2.fft_cur),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_scan_stitch_base_data_raw_matches_oracle(rng):
+    """bScanRangeBaseDataIsRaw=True: Max/Min/Avg cumulate from the raw band
+    spectrum over [iStart:iEnd] instead of stitched Cur over [iStart:iDone]
+    (kspecanal.py:651-656)."""
+    cfg = scan_cfg(b_scan_range_base_data_is_raw=True)
+    plan = scan_mod.make_scan_plan(cfg)
+    win = window_lut(cfg.window, cfg.fft_size)
+    sweeps_iq = [[rng.standard_normal(cfg.full_size)
+                  + 1j * rng.standard_normal(cfg.full_size)
+                  for _ in range(plan.num_bands)] for _ in range(2)]
+    state = scan_mod.init_state(cfg, plan)
+    for sweep in sweeps_iq:
+        re = jnp.asarray(np.stack([b.real for b in sweep]), jnp.float32)
+        im = jnp.asarray(np.stack([b.imag for b in sweep]), jnp.float32)
+        state = scan_mod.sweep_step_jit(
+            state, re, im, jnp.ones(plan.num_bands, bool), cfg, plan)
+    per_sweep = [np.stack([
+        oracle_curscan(b, cfg.fft_size, cfg.cur_scan_non_overlap, win,
+                       cfg.cur_scan_cumu_mode) for b in sweep])
+        for sweep in sweeps_iq]
+    want = oracle_scan_sweeps(per_sweep, cfg)
+    np.testing.assert_allclose(np.asarray(state.fft_max), want["Max"], atol=5e-3)
+    np.testing.assert_allclose(np.asarray(state.fft_min), want["Min"], atol=5e-3)
+    np.testing.assert_allclose(np.asarray(state.fft_avg), want["Avg"], atol=5e-3)
