@@ -102,7 +102,20 @@ def run_zero_span(sess: Session, max_iters: Optional[int] = None
         with sess.timer.stage("acquire", cfg.full_size):
             re, im = sess.source.read(cfg.full_size)
         with sess.timer.stage("dsp", cfg.full_size):
-            if adj is None:
+            if sess.mesh is not None and sess.mesh.shape.get("time", 1) > 1:
+                # Sequence-parallel: this capture's sample axis sharded
+                # over the mesh ring (halo exchange inside); display half
+                # of the step runs on the replicated spectrum.
+                from kspecanal_tpu.parallel.timeshard import \
+                    curscan_time_sharded
+                spec = curscan_time_sharded(
+                    jnp.asarray(re), jnp.asarray(im), cfg, sess.mesh)
+                if adj is None:
+                    state, view = zs.display_update_jit(state, spec, cfg)
+                else:
+                    state, view = zs.display_update_adj_jit(
+                        state, spec, adj, cfg)
+            elif adj is None:
                 state, view = zs.zero_span_step_jit(
                     state, jnp.asarray(re), jnp.asarray(im), cfg)
             else:
