@@ -100,3 +100,25 @@ def test_psd_welch_matches_mlab(rng):
                           noverlap=int(256 * (1 - 0.5)))
     # mlab returns complex-input PSD already fftshifted with freqs ascending.
     np.testing.assert_allclose(got, pxx, rtol=5e-4, atol=1e-7)
+
+
+def test_random_config_sweep_matches_oracle(rng):
+    """Property sweep: random (fftSize, window, overlap, cumulate) configs
+    all match the serial float64 oracle."""
+    windows = [WINDOW_ONES, WINDOW_HANNING, WINDOW_KAISER]
+    cumus = [CUMU_AVG, CUMU_MAX, CUMU_MIN, CUMU_RAW]
+    overlaps = [0.1, 0.25, 0.5, 0.75, 1.0]
+    fft_sizes = [64, 128, 200, 256, 500, 1024]
+    for trial in range(12):
+        fft = fft_sizes[int(rng.integers(len(fft_sizes)))]
+        win = windows[int(rng.integers(len(windows)))]
+        cumu = cumus[int(rng.integers(len(cumus)))]
+        ov = overlaps[int(rng.integers(len(overlaps)))]
+        cfg = SpecConfig(fft_size=fft, sampling_rate=2.4e6, window=win,
+                         cur_scan_non_overlap=ov, cur_scan_cumu_mode=cumu)
+        iq = make_iq(rng, cfg.full_size)
+        got = np.asarray(curscan_jit(*split_iq(iq), cfg), np.float64)
+        want = oracle_curscan(iq, fft, ov, window_lut(win, fft), cumu)
+        np.testing.assert_allclose(
+            got, want, rtol=5e-4, atol=1e-5,
+            err_msg=f"trial {trial}: fft={fft} win={win} cumu={cumu} ov={ov}")
