@@ -158,19 +158,7 @@ def display_update_adj_jit(state, spectrum_linear, adj, cfg: SpecConfig):
     return display_update(state, spectrum_linear, cfg, adj)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "num_steps"))
-def zero_span_multi_step_jit(state, iq_re, iq_im, cfg: SpecConfig,
-                             num_steps: int):
-    """Process ``num_steps`` IQ blocks in one device call via lax.scan —
-    the throughput path (record mode / benchmarks), amortizing dispatch.
-
-    iq_re/iq_im: ``(num_steps, full_size)``.  Returns the final state plus
-    the per-step linear spectra ``(num_steps, fft_size)`` (the record-mode
-    payload, kspecanal.py:523-525).
-    """
-    def body(st, blk):
-        st2, view = zero_span_step(st, blk[0], blk[1], cfg)
-        return st2, view.spectrum
-
-    blocks = jnp.stack([iq_re, iq_im], axis=1)
-    return jax.lax.scan(body, state, blocks)
+# NOTE: batched multi-iteration processing lives in parallel/stream.py
+# (waterfall_stream / waterfall_stream_step), which reproduces this state
+# machine's curves with closed-form reductions instead of a lax.scan of
+# the full display step.

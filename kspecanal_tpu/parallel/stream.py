@@ -48,13 +48,19 @@ class StreamResult(NamedTuple):
     fft_cur: jax.Array   # last iteration's spectrum (dB)
 
 
-def _batch_products(iq_re, iq_im, cfg: SpecConfig):
+def _batch_products(iq_re, iq_im, cfg: SpecConfig, adj=None):
     """All blocks' zero-span DSP: batched curscan (fused Pallas kernel on
-    TPU where supported) -> LogNoGain -> heatmap rows."""
+    TPU where supported) -> LogNoGain -> heatmap rows.
+
+    ``adj`` is the optional signal-level baseline: like the reference, it
+    is a DISPLAY-time subtraction (kspecanal.py:400-411) — rows are
+    compressed from the adjusted spectra while the returned dB spectra
+    (which feed the max/min/avg state curves) stay unadjusted."""
     spec_lin = curscan_auto_batched(iq_re, iq_im, cfg)   # (T, fft_size)
     dbs = dsp.log_no_gain(spec_lin, cfg.gain)
+    disp = dbs if adj is None else dbs - adj[None, :]
     rows = jax.vmap(
-        lambda d: dsp.compress_1d(d, cfg.plt_compress_hm, cfg.x_res))(dbs)
+        lambda d: dsp.compress_1d(d, cfg.plt_compress_hm, cfg.x_res))(disp)
     return dbs, rows
 
 

@@ -181,3 +181,30 @@ def test_fft_sharded_max_mode(rng):
     got = np.asarray(curscan_fft_sharded(re, im, cfg, mesh))
     want = np.asarray(curscan_jit(re, im, cfg))
     np.testing.assert_allclose(got, want, rtol=5e-5, atol=1e-6)
+
+
+def test_stream_rows_match_session_with_adj(rng):
+    """Stream rows with a baseline == the serial zero-span heatmap rows
+    (display-time subtraction, state curves unadjusted)."""
+    import functools
+    from kspecanal_tpu.models import zerospan as zs
+    import kspecanal_tpu.parallel.stream as stream_mod
+    cfg = SpecConfig(prg_mode="ZEROSPAN", fft_size=128, sampling_rate=2.4e6,
+                     window=WINDOW_HANNING, cur_scan_non_overlap=0.5,
+                     x_res=128).finalize()
+    adj = jnp.asarray(rng.standard_normal(cfg.fft_size), jnp.float32)
+    T = 5
+    re = jnp.asarray(rng.standard_normal((T, cfg.full_size)), jnp.float32)
+    im = jnp.asarray(rng.standard_normal((T, cfg.full_size)), jnp.float32)
+    dbs, rows = jax.jit(
+        functools.partial(stream_mod._batch_products, cfg=cfg))(
+            re, im, adj=adj)
+    state = zs.init_state(cfg)
+    for t in range(T):
+        state, view = zs.zero_span_step_adj_jit(state, re[t], im[t], adj, cfg)
+        np.testing.assert_allclose(np.asarray(rows[t]),
+                                   np.asarray(state.heatmap[t]),
+                                   rtol=1e-5, atol=1e-5)
+    # state curves are unadjusted in both paths
+    np.testing.assert_allclose(np.asarray(jnp.max(dbs, axis=0)),
+                               np.asarray(state.fft_max), rtol=1e-5, atol=1e-5)
