@@ -303,3 +303,49 @@ def test_scan_stitch_base_data_raw_matches_oracle(rng):
     np.testing.assert_allclose(np.asarray(state.fft_max), want["Max"], atol=5e-3)
     np.testing.assert_allclose(np.asarray(state.fft_min), want["Min"], atol=5e-3)
     np.testing.assert_allclose(np.asarray(state.fft_avg), want["Avg"], atol=5e-3)
+
+
+def test_amplitude_calibration(rng):
+    """A bin-centered unit complex exponential measures 2.0 in the linear
+    spectrum (the winAdj*2*|fft|/N convention, kspecanal.py:391; the +3dB
+    IQ note of README.rst:373-376 follows from it)."""
+    cfg = zs_cfg(window="WIN.ONES", cur_scan_cumu_mode="AVG")
+    n = cfg.full_size
+    k = 16  # exact bin of the fft (fftSize divides full_size)
+    t = np.arange(n)
+    z = np.exp(2j * np.pi * k * t / cfg.fft_size)  # amplitude 1.0
+    state = zs.init_state(cfg)
+    spec = None
+    import jax
+    from kspecanal_tpu.ops.spectrum import curscan_jit
+    spec = np.asarray(curscan_jit(jnp.asarray(z.real, jnp.float32),
+                                  jnp.asarray(z.imag, jnp.float32), cfg))
+    assert abs(spec.max() - 2.0) < 1e-3
+    assert int(np.argmax(spec)) == cfg.fft_size // 2 + k
+
+
+def test_scan_baseline_roundtrip(tmp_path, rng):
+    """saveSigLvls in scan mode then adjSigLvls on the same range loads and
+    subtracts (kspecanal.py:736-768, :400-411)."""
+    import dataclasses
+    from kspecanal_tpu.models.scan import scan_view, make_scan_plan
+    save = str(tmp_path / "lvls.bin")
+    cfg = scan_cfg(save_sig_lvls=save)
+    src = SynthIQSource(sample_rate=cfg.sampling_rate, seed=31)
+    sess = sess_mod.Session(cfg, src)
+    state = sess_mod.run_scan(sess, max_sweeps=1)
+    sess.save_baseline()
+
+    cfg2 = scan_cfg(adj_sig_lvls=save)
+    sess2 = sess_mod.Session(cfg2, SynthIQSource(
+        sample_rate=cfg.sampling_rate, seed=31))
+    assert sess2.adj is not None
+    state2 = sess_mod.run_scan(sess2, max_sweeps=1)
+    plan = sess_mod.make_plan_cached(cfg2)
+    view = scan_view(state2, cfg2, plan, jnp.asarray(sess2.adj))
+    # identical source + subtracted baseline -> avg curve ~ 0 everywhere
+    assert float(np.max(np.abs(np.asarray(state2.fft_avg) - sess2.adj))) < 1e-3
+    # range mismatch -> adjustment disabled
+    cfg3 = scan_cfg(adj_sig_lvls=save, end_freq=98e6)
+    sess3 = sess_mod.Session(cfg3, None)
+    assert sess3.adj is None
