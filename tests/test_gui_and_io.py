@@ -193,3 +193,21 @@ def test_state_checkpoint_roundtrip(tmp_path, rng):
     import dataclasses
     other = dataclasses.replace(cfg, fft_size=256, x_res=256)
     assert load_state(p, other) is None
+
+
+def test_batch_analyzer(tmp_path, rng):
+    """tools.analyze_capture: decode, optional decimation, spectra variants
+    (octave/process_rtlsdr.m parity)."""
+    from kspecanal_tpu import tools
+    raw = rng.integers(0, 256, size=2 * 150_000).astype(np.uint8)
+    p = str(tmp_path / "cap.iq")
+    raw.tofile(p)
+    r = tools.analyze_capture(p, fft_size=128)
+    assert r["complex"].shape == (128,)
+    assert set(r) >= {"complex", "real", "imag", "abs", "num_blocks"}
+    r2 = tools.analyze_capture(p, fft_size=64, decimate=4)
+    assert r2["num_blocks"] == (150_000 // 4) // (64 * 8)
+    out = str(tmp_path / "spectra.npz")
+    assert tools.main([p, "fftSize", "128", "out", out]) == 0
+    z = np.load(out)
+    assert f"{p}:complex" in z
