@@ -134,14 +134,53 @@ def psd_welch(iq_re: jax.Array, iq_im: jax.Array, cfg: SpecConfig) -> jax.Array:
     return jnp.fft.fftshift(pxx)
 
 
+def curscan_direct_batched(iq_re: jax.Array, iq_im: jax.Array,
+                           cfg: SpecConfig) -> jax.Array:
+    """Small-FFT curscan via a DIRECT DFT matmul.
+
+    For small fft_size (quickFullScan runs 64, kspecanal.py:920) the
+    problem is thousands of tiny FFTs — latency-bound on any FFT algorithm
+    but a single wide ``(B*W, N) @ (N, N)`` matmul on the MXU.  The N^2
+    FLOPs are irrelevant at these sizes; the matmul is one op.
+    Numerics identical to curscan (same framing/normalize/cumulate).
+    """
+    n = cfg.fft_size
+    starts = cfg.window_starts
+    k = np.arange(n)
+    dft = np.exp(-2j * np.pi * np.outer(k, k) / n)
+    fr = jnp.asarray(dft.real, jnp.float32)
+    fi = jnp.asarray(dft.imag, jnp.float32)
+    win = jnp.asarray(window_lut(cfg.window, n), jnp.float32)
+    adj = win_adj(cfg.window, n)
+
+    def one(re_row, im_row):
+        ar = frame_signal(re_row, starts, n) * win     # (W, n)
+        ai = frame_signal(im_row, starts, n) * win
+        hi = jax.lax.Precision.HIGHEST
+        xr = (jnp.dot(ar, fr.T, precision=hi)
+              - jnp.dot(ai, fi.T, precision=hi))
+        xi = (jnp.dot(ai, fr.T, precision=hi)
+              + jnp.dot(ar, fi.T, precision=hi))
+        mags = (adj * 2.0 / n) * jnp.sqrt(xr * xr + xi * xi)
+        w = cumu_weights(cfg.cur_scan_cumu_mode, cfg.num_windows)
+        from kspecanal_tpu.ops.dsp import reduce_windows
+        return jnp.fft.fftshift(
+            reduce_windows(cfg.cur_scan_cumu_mode, mags, w))
+
+    return jax.vmap(one)(iq_re, iq_im)
+
+
 def curscan_auto_batched(iq_re: jax.Array, iq_im: jax.Array,
                          cfg: SpecConfig) -> jax.Array:
-    """Best batched curscan for the current backend: the fused Pallas
-    kernel on TPU for fft_size >= 2048 with aligned window starts (measured
-    1.1-3.3x the XLA chain there — scripts/perf_probe.py), the XLA
-    gather+FFT chain otherwise."""
+    """Best batched curscan for the current backend:
+      * fused Pallas kernel on TPU for fft_size >= 2048 with aligned
+        window starts (1.1-3.3x the XLA chain — scripts/perf_probe.py);
+      * direct DFT matmul on TPU for fft_size <= 256 (tiny-FFT regime);
+      * the XLA gather+FFT chain otherwise."""
     from kspecanal_tpu.ops import pallas_curscan
-    if (jax.default_backend() == "tpu" and cfg.fft_size >= 2048
-            and pallas_curscan.supports_fused(cfg)):
-        return pallas_curscan.curscan_fused(iq_re, iq_im, cfg)
+    if jax.default_backend() == "tpu":
+        if (cfg.fft_size >= 2048 and pallas_curscan.supports_fused(cfg)):
+            return pallas_curscan.curscan_fused(iq_re, iq_im, cfg)
+        if cfg.fft_size <= 256:
+            return curscan_direct_batched(iq_re, iq_im, cfg)
     return curscan_batched(iq_re, iq_im, cfg)

@@ -67,3 +67,19 @@ def test_auto_dispatch_runs_everywhere(rng):
         im = jnp.asarray(rng.standard_normal((2, cfg.full_size)), jnp.float32)
         out = jax.jit(lambda r, i: curscan_auto_batched(r, i, cfg))(re, im)
         assert out.shape == (2, cfg.fft_size)
+
+
+def test_direct_dft_matches_chain(rng):
+    from kspecanal_tpu.ops.spectrum import curscan_direct_batched
+    for fft, mode in [(64, "AVG"), (256, "MAX"), (128, "RAW")]:
+        cfg = SpecConfig(prg_mode="ZEROSPAN", fft_size=fft,
+                         sampling_rate=2.4e6, window=WINDOW_HANNING,
+                         cur_scan_non_overlap=0.5,
+                         cur_scan_cumu_mode=mode).finalize()
+        re = jnp.asarray(rng.standard_normal((3, cfg.full_size)), jnp.float32)
+        im = jnp.asarray(rng.standard_normal((3, cfg.full_size)), jnp.float32)
+        got = np.asarray(jax.jit(
+            lambda r, i: curscan_direct_batched(r, i, cfg))(re, im))
+        want = np.asarray(jax.jit(
+            lambda r, i: curscan_batched(r, i, cfg))(re, im))
+        assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 1e-5
