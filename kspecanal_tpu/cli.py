@@ -42,6 +42,7 @@ class RunOptions:
     mesh_band: int = 1
     prefetch: bool = False   # background read-ahead pipeline (io/prefetch)
     profile_dir: str = ""    # jax.profiler trace output directory
+    renderer: str = "gui"    # gui | term | none
 
 
 class CliError(ValueError):
@@ -89,6 +90,7 @@ _RUNOPT_KEYMAP = {
     "TPUMESHBAND": ("mesh_band", int),
     "TPUPREFETCH": ("prefetch", _boolean),
     "TPUPROFILE": ("profile_dir", str),
+    "TPURENDERER": ("renderer", lambda v: v.lower()),
 }
 
 
@@ -181,7 +183,10 @@ def main(argv: Optional[List[str]] = None) -> int:
             source = PrefetchingSource(source, block_size=cfg.full_size)
 
     renderer = None
-    if not run.headless:
+    if run.renderer == "term":
+        from kspecanal_tpu.render_term import TerminalRenderer
+        renderer = TerminalRenderer(cfg)
+    elif not run.headless and run.renderer == "gui":
         try:
             from kspecanal_tpu.gui import MatplotlibRenderer
             renderer = MatplotlibRenderer(cfg)

@@ -211,3 +211,21 @@ def test_batch_analyzer(tmp_path, rng):
     assert tools.main([p, "fftSize", "128", "out", out]) == 0
     z = np.load(out)
     assert f"{p}:complex" in z
+
+
+def test_terminal_renderer(rng):
+    import io as io_mod
+    from kspecanal_tpu.render_term import TerminalRenderer
+    from kspecanal_tpu import session as sess_mod
+    cfg = SpecConfig(prg_mode="ZEROSPAN", fft_size=128, sampling_rate=2.4e6,
+                     x_res=128).finalize()
+    buf = io_mod.StringIO()
+    r = TerminalRenderer(cfg, width=60, stream=buf)
+    src = SynthIQSource(center_freq=cfg.center_freq,
+                        sample_rate=cfg.sampling_rate, seed=17)
+    sess = sess_mod.Session(cfg, src, renderer=r)
+    sess_mod.run_zero_span(sess, max_iters=3)
+    out = buf.getvalue()
+    assert "iter 2" in out
+    assert "max |" in out and "wf  |" in out
+    assert "peaks:" in out
