@@ -55,26 +55,6 @@ class ScanPlan:
     def num_bands(self) -> int:
         return len(self.bands)
 
-    @property
-    def uniform(self) -> bool:
-        """True when every band after the first has identical slice
-        geometry (always the case for scanRangeNonOverlap=0.5 presets) —
-        enables the lax.scan fast path for huge sweeps (quickFullScan has
-        1000+ bands; unrolling would explode compile time)."""
-        if self.num_bands < 3:
-            return False
-        b1 = self.bands[1]
-        step = self.bands[2].i_start - b1.i_start
-        for k, b in enumerate(self.bands[1:]):
-            if (b.i_start != b1.i_start + (k) * step
-                    or b.i_end - b.i_start != b1.i_end - b1.i_start
-                    or b.i_done - b.i_start != b1.i_done - b1.i_start
-                    or b.i_old_end - b.i_start != b1.i_old_end - b1.i_start
-                    or b.s_start != b1.s_start or b.s_end != b1.s_end
-                    or b.s_raw_start != b1.s_raw_start):
-                return False
-        return True
-
 
 def make_scan_plan(cfg: SpecConfig) -> ScanPlan:
     """Precompute the reference's band-loop index math

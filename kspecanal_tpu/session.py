@@ -27,7 +27,7 @@ from kspecanal_tpu.io.sources import IQSource
 from kspecanal_tpu.models import scan as scan_mod
 from kspecanal_tpu.models import zerospan as zs
 from kspecanal_tpu.ops.peaks import find_peaks
-from kspecanal_tpu.utils.logging import log_info, log_warn
+from kspecanal_tpu.utils.logging import log_dbug, log_info, log_warn
 from kspecanal_tpu.utils.profiling import StageTimer
 
 
@@ -98,6 +98,7 @@ def run_zero_span(sess: Session, max_iters: Optional[int] = None
             break
         cur = time.time()
         sess.iter_times.append(cur - prev)
+        log_dbug(f"ZeroSpan:{i}:{cur - prev}")  # kspecanal.py:462
         prev = cur
         with sess.timer.stage("acquire", cfg.full_size):
             re, im = sess.source.read(cfg.full_size)
@@ -255,6 +256,7 @@ def run_scan(sess: Session, max_sweeps: Optional[int] = None
             break
         cur = time.time()
         sess.iter_times.append(cur - prev)
+        log_dbug(f"scanRange:{i}:{cur - prev}")  # kspecanal.py:723
         prev = cur
         re, im, oks = sweep_bands(sess, plan)
         if sess.mesh is not None and sess.mesh.shape.get("band", 1) > 1:
