@@ -27,20 +27,30 @@ def _resample(vals: np.ndarray, width: int) -> np.ndarray:
     return vals[: width * cols].reshape(width, cols).max(axis=1)
 
 
-def sparkline(vals: np.ndarray, width: int, lo: float, hi: float) -> str:
+def _char_row(vals: np.ndarray, width: int, lo: float, hi: float,
+              charset: str) -> str:
+    """Map values to charset indices; -inf/NaN (LogNoGain of a zero bin)
+    and lo==hi (flat first-iteration curves) render as the lowest glyph
+    instead of poisoning the cast."""
     v = _resample(np.asarray(vals, np.float64), width)
+    if not np.isfinite(lo) or not np.isfinite(hi):
+        finite = v[np.isfinite(v)]
+        lo = float(finite.min()) if finite.size else 0.0
+        hi = float(finite.max()) if finite.size else 1.0
     span = max(hi - lo, 1e-9)
-    idx = np.clip(((v - lo) / span) * (len(_BLOCKS) - 1), 0,
-                  len(_BLOCKS) - 1).astype(int)
-    return "".join(_BLOCKS[i] for i in idx)
+    scaled = np.nan_to_num((v - lo) / span, nan=0.0,
+                           posinf=1.0, neginf=0.0)
+    idx = np.clip(scaled * (len(charset) - 1), 0,
+                  len(charset) - 1).astype(int)
+    return "".join(charset[i] for i in idx)
+
+
+def sparkline(vals: np.ndarray, width: int, lo: float, hi: float) -> str:
+    return _char_row(vals, width, lo, hi, _BLOCKS)
 
 
 def shade_row(vals: np.ndarray, width: int, lo: float, hi: float) -> str:
-    v = _resample(np.asarray(vals, np.float64), width)
-    span = max(hi - lo, 1e-9)
-    idx = np.clip(((v - lo) / span) * (len(_SHADES) - 1), 0,
-                  len(_SHADES) - 1).astype(int)
-    return "".join(_SHADES[i] for i in idx)
+    return _char_row(vals, width, lo, hi, _SHADES)
 
 
 class TerminalRenderer:
@@ -58,8 +68,9 @@ class TerminalRenderer:
         cfg = self.cfg
         w = self.width
         cur = np.asarray(view.cur_lvls, np.float64)
-        lo = float(np.min(cur)) - 1.0
-        hi = float(np.max(cur)) + 1.0
+        finite = cur[np.isfinite(cur)]
+        lo = (float(np.min(finite)) if finite.size else 0.0) - 1.0
+        hi = (float(np.max(finite)) if finite.size else 1.0) + 1.0
         lines = []
         hdr = (f"iter {iteration}  [{cfg.start_freq/1e6:.3f} - "
                f"{cfg.end_freq/1e6:.3f} MHz]  "
