@@ -81,7 +81,18 @@ _KEYMAP = {
     "BSCANRANGEBASEDATAISRAW": ("b_scan_range_base_data_is_raw", _boolean),
     "ZEROSPANSAVEFILE": ("zero_span_save_file", str),
     "ZEROSPANPLAYFILE": ("zero_span_play_file", str),
+    # New (no reference analog): MXU matmul precision for the DFT paths.
+    "TPUPRECISION": ("tpu_precision", lambda v: _precision_name(v)),
 }
+
+
+def _precision_name(v: str) -> str:
+    """Validate at parse time — a bad value would otherwise only surface
+    at first kernel build on the TPU."""
+    up = v.upper()
+    if up not in ("DEFAULT", "HIGH", "HIGHEST"):
+        raise CliError(f"tpuPrecision [{v}] not one of default|high|highest")
+    return up
 
 _RUNOPT_KEYMAP = {
     "TPUSOURCE": ("source", str),

@@ -88,6 +88,12 @@ class SpecConfig:
     scan_range_non_overlap: float = 0.5        # gScanRangeNonOverlap :54
     b_scan_range_base_data_is_raw: bool = False  # gbScanRangeBaseDataIsRaw :568
     b_use_psd: bool = False                    # gbUsePSD :350
+    # MXU matmul precision for the DFT paths (new, no reference analog):
+    # HIGHEST (default) holds ~1e-6 relative error vs the float64 oracle;
+    # HIGH (bf16x3 passes) trades ~1e-5 error for matmul throughput;
+    # DEFAULT (single bf16 pass) is the fast mode for 8-bit-ADC sources,
+    # whose quantization noise already dwarfs bf16 rounding.
+    tpu_precision: str = "HIGHEST"             # tpuPrecision CLI option
     # -- display processing (source-edit-only in the reference :62-67) ----
     zero_span_disp_proc: str = "LogNoGain"     # gZeroSpanFftDispProcMode :63
     scan_disp_proc: str = "LogNoGain"          # gScanRangeFftDispProcMode :64

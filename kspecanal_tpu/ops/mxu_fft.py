@@ -36,6 +36,21 @@ import numpy as np
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
+_PRECISIONS = {
+    "DEFAULT": jax.lax.Precision.DEFAULT,
+    "HIGH": jax.lax.Precision.HIGH,
+    "HIGHEST": jax.lax.Precision.HIGHEST,
+}
+
+
+def matmul_precision(name: str) -> jax.lax.Precision:
+    """Map a SpecConfig.tpu_precision string to a lax.Precision."""
+    try:
+        return _PRECISIONS[name.upper()]
+    except KeyError:
+        raise ValueError(f"unknown tpuPrecision {name!r} "
+                         f"(one of {sorted(_PRECISIONS)})") from None
+
 
 # Per-size factor overrides (n -> (n1, n2)), tuned on hardware; see
 # scripts/perf_probe.py.  The stage-1 matmul contracts n1, so MXU-sized n1
@@ -62,10 +77,11 @@ def _factorize(n: int) -> Tuple[int, int]:
     return best
 
 
-@functools.lru_cache(maxsize=32)
-def _dft_tables(n: int):
-    """Precompute (F1re, F1im, F2re, F2im, Tre, Tim) float32 tables."""
-    n1, n2 = _factorize(n)
+@functools.lru_cache(maxsize=64)
+def _dft_tables_for(n: int, n1: int, n2: int):
+    """Precompute (F1re, F1im, F2re, F2im, Tre, Tim) float32 tables for an
+    explicit n = n1*n2 split."""
+    assert n1 * n2 == n, (n, n1, n2)
     k1 = np.arange(n1)
     k2 = np.arange(n2)
     f1 = np.exp(-2j * np.pi * np.outer(k1, k1) / n1)          # (n1, n1)
@@ -75,7 +91,15 @@ def _dft_tables(n: int):
         f1.real, f1.imag, f2.real, f2.imag, tw.real, tw.imag))
 
 
-def fft_mxu(re: jax.Array, im: jax.Array) -> Tuple[jax.Array, jax.Array]:
+def _dft_tables(n: int):
+    """Tables for the default `_factorize` split of n."""
+    n1, n2 = _factorize(n)
+    return _dft_tables_for(n, n1, n2)
+
+
+def fft_mxu(re: jax.Array, im: jax.Array,
+            precision: jax.lax.Precision = _HIGHEST,
+            ) -> Tuple[jax.Array, jax.Array]:
     """Batched complex DFT of split planes: (..., N) -> (..., N).
 
     Equivalent to ``jnp.fft.fft(re + 1j*im, axis=-1)`` split into planes,
@@ -93,8 +117,8 @@ def fft_mxu(re: jax.Array, im: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
     # B = F1 @ A  (contract n1; batch dims ride along)
     def mm_f1(x):
-        return jnp.einsum("kn,...nm->...km", f1r, x, precision=_HIGHEST), \
-               jnp.einsum("kn,...nm->...km", f1i, x, precision=_HIGHEST)
+        return jnp.einsum("kn,...nm->...km", f1r, x, precision=precision), \
+               jnp.einsum("kn,...nm->...km", f1i, x, precision=precision)
 
     # B = (F1r + iF1i)(Ar + iAi) = (F1r@Ar - F1i@Ai) + i(F1r@Ai + F1i@Ar)
     brr, bri = mm_f1(ar)   # F1r@Ar, F1i@Ar
@@ -108,8 +132,8 @@ def fft_mxu(re: jax.Array, im: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
     # D[k2, k1] = sum_n2 C[k1, n2] F2[k2, n2]
     def mm_f2(x):
-        return jnp.einsum("...km,lm->...lk", x, f2r, precision=_HIGHEST), \
-               jnp.einsum("...km,lm->...lk", x, f2i, precision=_HIGHEST)
+        return jnp.einsum("...km,lm->...lk", x, f2r, precision=precision), \
+               jnp.einsum("...km,lm->...lk", x, f2i, precision=precision)
 
     drr, dri = mm_f2(cr)
     dir_, dii = mm_f2(ci)

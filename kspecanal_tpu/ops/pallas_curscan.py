@@ -35,7 +35,8 @@ from jax.experimental import pallas as pl
 from kspecanal_tpu.config import (CUMU_AVG, CUMU_MAX, CUMU_MIN, CUMU_RAW,
                                   SpecConfig, cumu_weights, win_adj,
                                   window_lut)
-from kspecanal_tpu.ops.mxu_fft import _dft_tables, _factorize
+from kspecanal_tpu.ops.mxu_fft import (_dft_tables, _factorize,
+                                       matmul_precision)
 
 
 def supports_fused(cfg: SpecConfig) -> bool:
@@ -54,80 +55,107 @@ def supports_fused(cfg: SpecConfig) -> bool:
 _BLOCKDIAG_MAX_DIM = 512
 
 
+def _make_dot(precision_name: str):
+    """In-kernel dot for the requested tpuPrecision.
+
+    Mosaic's dot lowering only accepts DEFAULT (one bf16 MXU pass) and
+    HIGHEST (six passes).  For HIGH we hand-roll the standard bf16x3
+    scheme: split each f32 operand into hi+lo bf16 halves and take the
+    three highest-order products — half the passes of HIGHEST for ~1e-5
+    relative error (vs ~1e-2 at DEFAULT, ~4e-7 at HIGHEST).
+    """
+    prec = matmul_precision(precision_name)
+    if prec != jax.lax.Precision.HIGH:
+        return functools.partial(jnp.dot, preferred_element_type=jnp.float32,
+                                 precision=prec)
+    d1 = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.DEFAULT)
+
+    def dot3(a, b):
+        a_hi = a.astype(jnp.bfloat16)
+        a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        b_hi = b.astype(jnp.bfloat16)
+        b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return d1(a_hi, b_hi) + (d1(a_hi, b_lo) + d1(a_lo, b_hi))
+
+    return dot3
+
+
 def _kernel(re_ref, im_ref, f1r_ref, f1i_ref, f2bdr_ref, f2bdi_ref,
             twr_ref, twi_ref, winr_ref, out_re_ref, *, cfg: SpecConfig,
-            weights, use_blockdiag: bool):
+            weights, use_blockdiag: bool, t_tile: int):
     n = cfg.fft_size
     n1, n2 = _factorize(n)
     w_cnt = cfg.num_windows
     adj_scale = win_adj(cfg.window, n) * 2.0 / n
-    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
+    dot = _make_dot(cfg.tpu_precision)
     f1r, f1i = f1r_ref[...], f1i_ref[...]
     win2 = winr_ref[...]                      # (n1, n2) window view
 
-    # --- framing: lane-concat all windows -> A_all (n1, W*n2); stage 1 is
-    # then ONE matmul for the whole block instead of W small ones.
+    # --- framing: lane-concat all windows of all t_tile sub-blocks ->
+    # A_all (n1, t_tile*W*n2); stage 1 is then ONE matmul for the whole
+    # grid step instead of t_tile*W small ones.
     frames_re, frames_im = [], []
-    for s in cfg.window_starts:
-        r = s // n2
-        frames_re.append(re_ref[0, r:r + n1, :] * win2)
-        frames_im.append(im_ref[0, r:r + n1, :] * win2)
-    ar = jnp.concatenate(frames_re, axis=1)   # (n1, W*n2)
+    for b in range(t_tile):
+        for s in cfg.window_starts:
+            r = s // n2
+            frames_re.append(re_ref[b, r:r + n1, :] * win2)
+            frames_im.append(im_ref[b, r:r + n1, :] * win2)
+    ar = jnp.concatenate(frames_re, axis=1)   # (n1, t_tile*W*n2)
     ai = jnp.concatenate(frames_im, axis=1)
 
     br = dot(f1r, ar) - dot(f1i, ai)          # stage 1 (contract n1)
     bi = dot(f1r, ai) + dot(f1i, ar)
 
-    twr, twi = twr_ref[...], twi_ref[...]     # pre-tiled (n1, W*n2)
+    twr, twi = twr_ref[...], twi_ref[...]     # pre-tiled (n1, t_tile*W*n2)
     cr = br * twr - bi * twi                  # twiddle
     ci = br * twi + bi * twr
 
-    if use_blockdiag:
-        # stage 2 for all windows at once: C (n1, W*n2) @ F2bd (W*n2, W*n2)
-        f2bdr, f2bdi = f2bdr_ref[...], f2bdi_ref[...]
-        dr = dot(cr, f2bdr) - dot(ci, f2bdi)
-        di = dot(ci, f2bdr) + dot(cr, f2bdi)
-        mag = jnp.sqrt(dr * dr + di * di)     # (n1, W*n2) [k1 ; w,k2]
-        mode = cfg.cur_scan_cumu_mode
-        if mode == CUMU_MIN:
-            acc = jnp.full((n1, n2), jnp.inf, jnp.float32)
-        else:
-            acc = jnp.zeros((n1, n2), jnp.float32)
-        for wi in range(w_cnt):
-            m = mag[:, wi * n2:(wi + 1) * n2]
-            if mode in (CUMU_AVG, CUMU_RAW):
-                acc = acc + jnp.float32(weights[wi] * adj_scale) * m
-            elif mode == CUMU_MAX:
-                acc = jnp.maximum(acc, jnp.float32(adj_scale) * m)
-            else:
-                acc = jnp.minimum(acc, jnp.float32(adj_scale) * m)
-    else:
-        # per-window stage 2 (f2bd refs hold plain F2^T here)
-        f2rt, f2it = f2bdr_ref[...], f2bdi_ref[...]
-        mode = cfg.cur_scan_cumu_mode
-        if mode == CUMU_MIN:
-            acc = jnp.full((n1, n2), jnp.inf, jnp.float32)
-        else:
-            acc = jnp.zeros((n1, n2), jnp.float32)
-        for wi in range(w_cnt):
-            crw = cr[:, wi * n2:(wi + 1) * n2]
-            ciw = ci[:, wi * n2:(wi + 1) * n2]
-            dr = dot(crw, f2rt) - dot(ciw, f2it)
-            di = dot(ciw, f2rt) + dot(crw, f2it)
-            m = jnp.sqrt(dr * dr + di * di)
-            if mode in (CUMU_AVG, CUMU_RAW):
-                acc = acc + jnp.float32(weights[wi] * adj_scale) * m
-            elif mode == CUMU_MAX:
-                acc = jnp.maximum(acc, jnp.float32(adj_scale) * m)
-            else:
-                acc = jnp.minimum(acc, jnp.float32(adj_scale) * m)
+    mode = cfg.cur_scan_cumu_mode
 
-    out_re_ref[0, :, :] = acc
+    def reduce_mags(mag_b):
+        """(n1, W*n2) per-window magnitudes -> (n1, n2) cumulated."""
+        if mode == CUMU_MIN:
+            acc = jnp.full((n1, n2), jnp.inf, jnp.float32)
+        else:
+            acc = jnp.zeros((n1, n2), jnp.float32)
+        for wi in range(w_cnt):
+            m = mag_b[:, wi * n2:(wi + 1) * n2]
+            if mode in (CUMU_AVG, CUMU_RAW):
+                acc = acc + jnp.float32(weights[wi] * adj_scale) * m
+            elif mode == CUMU_MAX:
+                acc = jnp.maximum(acc, jnp.float32(adj_scale) * m)
+            else:
+                acc = jnp.minimum(acc, jnp.float32(adj_scale) * m)
+        return acc
+
+    wn2 = w_cnt * n2
+    for b in range(t_tile):
+        crb = cr[:, b * wn2:(b + 1) * wn2]
+        cib = ci[:, b * wn2:(b + 1) * wn2]
+        if use_blockdiag:
+            # stage 2 all windows at once: C (n1, W*n2) @ F2bd (W*n2, W*n2)
+            f2bdr, f2bdi = f2bdr_ref[...], f2bdi_ref[...]
+            dr = dot(crb, f2bdr) - dot(cib, f2bdi)
+            di = dot(cib, f2bdr) + dot(crb, f2bdi)
+            mag = jnp.sqrt(dr * dr + di * di)  # (n1, W*n2) [k1 ; w,k2]
+            acc = reduce_mags(mag)
+        else:
+            # per-window stage 2 (f2bd refs hold plain F2^T here)
+            f2rt, f2it = f2bdr_ref[...], f2bdi_ref[...]
+            mags = []
+            for wi in range(w_cnt):
+                crw = crb[:, wi * n2:(wi + 1) * n2]
+                ciw = cib[:, wi * n2:(wi + 1) * n2]
+                dr = dot(crw, f2rt) - dot(ciw, f2it)
+                di = dot(ciw, f2rt) + dot(crw, f2it)
+                mags.append(jnp.sqrt(dr * dr + di * di))
+            acc = reduce_mags(jnp.concatenate(mags, axis=1))
+        out_re_ref[b, :, :] = acc
 
 
 @functools.lru_cache(maxsize=32)
-def _build(cfg: SpecConfig, interpret: bool):
+def _build(cfg: SpecConfig, interpret: bool, t_tile: int = 1):
     n = cfg.fft_size
     n1, n2 = _factorize(n)
     full = cfg.full_size
@@ -139,9 +167,9 @@ def _build(cfg: SpecConfig, interpret: bool):
     wts = cumu_weights(cfg.cur_scan_cumu_mode, w_cnt)
     weights = (None if wts is None else tuple(float(x) for x in wts))
 
-    # Twiddle tiled across windows: (n1, W*n2)
-    twr = jnp.asarray(np.tile(twr1, (1, w_cnt)), jnp.float32)
-    twi = jnp.asarray(np.tile(twi1, (1, w_cnt)), jnp.float32)
+    # Twiddle tiled across all windows of a grid step: (n1, t_tile*W*n2)
+    twr = jnp.asarray(np.tile(twr1, (1, w_cnt * t_tile)), jnp.float32)
+    twi = jnp.asarray(np.tile(twi1, (1, w_cnt * t_tile)), jnp.float32)
 
     use_blockdiag = (w_cnt * n2) <= _BLOCKDIAG_MAX_DIM
     if use_blockdiag:
@@ -159,7 +187,7 @@ def _build(cfg: SpecConfig, interpret: bool):
         f2shape = (n2, n2)
 
     kernel = functools.partial(_kernel, cfg=cfg, weights=weights,
-                               use_blockdiag=use_blockdiag)
+                               use_blockdiag=use_blockdiag, t_tile=t_tile)
 
     def whole(shape):
         return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
@@ -168,19 +196,21 @@ def _build(cfg: SpecConfig, interpret: bool):
 
     def call(iq_re, iq_im):
         t = iq_re.shape[0]
+        assert t % t_tile == 0, (t, t_tile)
         acc = pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((t, n1, n2), jnp.float32),
-            grid=(t,),
+            grid=(t // t_tile,),
             in_specs=[
-                pl.BlockSpec((1, rows, n2), lambda i: (i, 0, 0)),
-                pl.BlockSpec((1, rows, n2), lambda i: (i, 0, 0)),
+                pl.BlockSpec((t_tile, rows, n2), lambda i: (i, 0, 0)),
+                pl.BlockSpec((t_tile, rows, n2), lambda i: (i, 0, 0)),
                 whole((n1, n1)), whole((n1, n1)),
                 whole(f2shape), whole(f2shape),
-                whole((n1, w_cnt * n2)), whole((n1, w_cnt * n2)),
+                whole((n1, t_tile * w_cnt * n2)),
+                whole((n1, t_tile * w_cnt * n2)),
                 whole((n1, n2)),
             ],
-            out_specs=pl.BlockSpec((1, n1, n2), lambda i: (i, 0, 0)),
+            out_specs=pl.BlockSpec((t_tile, n1, n2), lambda i: (i, 0, 0)),
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
                 flops=t * (flops_mm + 12 * w_cnt * n),
@@ -197,16 +227,271 @@ def _build(cfg: SpecConfig, interpret: bool):
     return jax.jit(call)
 
 
-def curscan_fused(iq_re: jax.Array, iq_im: jax.Array,
-                  cfg: SpecConfig) -> jax.Array:
+# VMEM budget for auto t_tile.  The scoped-vmem limit on this chip is 16MB
+# (compile error beyond); budget what a grid step keeps live:
+#   inputs      2 planes x 2 pipeline buffers, lane dim padded to 128
+#   stage live  ar/ai + br/bi + cr/ci (6 arrays of (n1, t_tile*W*n2) f32),
+#               ~1.5x more when HIGH adds bf16 operand splits
+#   tables      f1/f2(bd)/twiddle/window (counted per build below)
+# Calibrated against hardware: the estimate reproduces the 28.4MB scoped
+# allocation Mosaic reported for (4096, t_tile=8) [OOM at 16MB limit], and
+# (2048, t_tile=4) at ~12.2MB estimated compiles fine.
+_T_TILE_VMEM_BUDGET = 14 * 1024 * 1024
+
+
+def _vmem_estimate(cfg: SpecConfig, t_tile: int) -> int:
+    n1, n2 = _factorize(cfg.fft_size)
+    w_cnt = cfg.num_windows
+    lanes = max(n2, 128)  # Mosaic pads the lane dim to 128
+    rows = cfg.full_size // n2
+    inputs = 2 * 2 * t_tile * rows * lanes * 4
+    inter = 6 * n1 * (t_tile * w_cnt * n2) * 4
+    if cfg.tpu_precision.upper() == "HIGH":
+        inter += inter // 2
+    bd = w_cnt * n2
+    tables = 2 * n1 * n1 * 4 + 2 * n1 * t_tile * w_cnt * n2 * 4
+    tables += 2 * (bd * bd if bd <= _BLOCKDIAG_MAX_DIM else n2 * n2) * 4
+    return inputs + inter + tables
+
+
+def _auto_t_tile(cfg: SpecConfig, t: int) -> int:
+    for cand in (8, 4, 2, 1):
+        if t % cand == 0 and _vmem_estimate(cfg, cand) <= _T_TILE_VMEM_BUDGET:
+            return cand
+    return 1
+
+
+def curscan_fused(iq_re: jax.Array, iq_im: jax.Array, cfg: SpecConfig,
+                  t_tile: int = 0) -> jax.Array:
     """Batched fused curscan: (T, full_size) planes -> (T, fft_size)
     linear fftshifted spectra (one reduced spectrum per block).
 
-    Requires ``supports_fused(cfg)``; runs interpret=True off-TPU so the
-    same code path is testable on the CPU mesh.
+    ``t_tile`` IQ blocks are processed per grid step (0 = auto) to amortize
+    the per-step DMA/sequencing overhead; T must divide by it.  Requires
+    ``supports_fused(cfg)``; runs interpret=True off-TPU so the same code
+    path is testable on the CPU mesh.
     """
     if not supports_fused(cfg):
         raise ValueError("config not supported by fused kernel "
                          "(misaligned window starts or prime fft_size)")
+    t = iq_re.shape[0]
+    if t_tile <= 0:
+        t_tile = _auto_t_tile(cfg, t)
     interpret = jax.default_backend() != "tpu"
-    return _build(cfg, interpret)(iq_re, iq_im)
+    return _build(cfg, interpret, t_tile)(iq_re, iq_im)
+
+
+# ---------------------------------------------------------------------------
+# Sublane-layout variant: frames stacked on SUBLANES, n2 = 128 lanes.
+#
+# The original layout above picks MXU-friendly DFT factors (n1 up to 128)
+# at the cost of a narrow lane dimension (n2 as small as 16), which Mosaic
+# pads to 128 lanes in VMEM — 8x input inflation at fft 2048 — and leaves
+# every elementwise op at n2/128 lane utilization.  This variant fixes
+# n2 = 128:
+#
+#     A_all  (W*n1, 128)  frames stacked on sublanes (zero-copy row slices
+#                         of the natural (full/128, 128) IQ view)
+#     B_all = F1bd @ A_all       stage 1: ONE block-diag matmul per grid
+#                                step (lane-concat across t_tile blocks)
+#     C = B * T                  twiddle, full-lane
+#     D = C2 @ F2^T              stage 2: ONE shared matmul — n2 is the
+#                                contraction axis, identical for every
+#                                frame, so no block-diag needed
+#     |D| -> weighted reduce     per (block, window) row-slices
+#
+# Same FLOP count as the lane layout, but nothing is lane-padded and the
+# whole chain runs at full VPU width.  Larger t_tile fits because the
+# input is 8x smaller in VMEM.
+# ---------------------------------------------------------------------------
+
+_SUBLANE_N2 = 128
+
+
+def supports_fused_sublane(cfg: SpecConfig) -> bool:
+    """fft_size a multiple of 256 (n1 >= 2) and all window starts
+    128-aligned (uniform hop % 128 == 0)."""
+    n = cfg.fft_size
+    if n % _SUBLANE_N2 or n // _SUBLANE_N2 < 2:
+        return False
+    if cfg.full_size % _SUBLANE_N2:
+        return False
+    return all(s % _SUBLANE_N2 == 0 for s in cfg.window_starts)
+
+
+def _kernel_sublane(re_ref, im_ref, f1bdr_ref, f1bdi_ref, f2tr_ref, f2ti_ref,
+                    twr_ref, twi_ref, winr_ref, out_ref, *, cfg: SpecConfig,
+                    weights, t_tile: int, use_blockdiag: bool):
+    n = cfg.fft_size
+    n2 = _SUBLANE_N2
+    n1 = n // n2
+    w_cnt = cfg.num_windows
+    wn1 = w_cnt * n1
+    adj_scale = win_adj(cfg.window, n) * 2.0 / n
+    dot = _make_dot(cfg.tpu_precision)
+    win_t = winr_ref[...]                     # (W*n1, 128) per-frame window
+
+    # Framing: per block, sublane-stack all frames; lane-concat blocks.
+    ab_re, ab_im = [], []
+    for b in range(t_tile):
+        fr = [re_ref[b, s // n2:s // n2 + n1, :] for s in cfg.window_starts]
+        fi = [im_ref[b, s // n2:s // n2 + n1, :] for s in cfg.window_starts]
+        ab_re.append(jnp.concatenate(fr, axis=0) * win_t)   # (W*n1, 128)
+        ab_im.append(jnp.concatenate(fi, axis=0) * win_t)
+    ar = jnp.concatenate(ab_re, axis=1)       # (W*n1, t_tile*128)
+    ai = jnp.concatenate(ab_im, axis=1)
+
+    f1r, f1i = f1bdr_ref[...], f1bdi_ref[...]
+    if use_blockdiag:                         # (W*n1, W*n1) block-diag F1
+        br = dot(f1r, ar) - dot(f1i, ai)
+        bi = dot(f1r, ai) + dot(f1i, ar)
+    else:                                     # per-frame dots, shared F1
+        brs, bis = [], []
+        for wi in range(w_cnt):
+            arw = ar[wi * n1:(wi + 1) * n1, :]
+            aiw = ai[wi * n1:(wi + 1) * n1, :]
+            brs.append(dot(f1r, arw) - dot(f1i, aiw))
+            bis.append(dot(f1r, aiw) + dot(f1i, arw))
+        br = jnp.concatenate(brs, axis=0)
+        bi = jnp.concatenate(bis, axis=0)
+
+    twr, twi = twr_ref[...], twi_ref[...]     # (W*n1, t_tile*128)
+    cr = br * twr - bi * twi
+    ci = br * twi + bi * twr
+
+    # Stage 2 contracts the lane axis; restack blocks on sublanes so it is
+    # one matmul against the shared (128, 128) F2^T.
+    c2r = jnp.concatenate(
+        [cr[:, b * n2:(b + 1) * n2] for b in range(t_tile)], axis=0)
+    c2i = jnp.concatenate(
+        [ci[:, b * n2:(b + 1) * n2] for b in range(t_tile)], axis=0)
+    f2tr, f2ti = f2tr_ref[...], f2ti_ref[...]
+    dr = dot(c2r, f2tr) - dot(c2i, f2ti)      # (t_tile*W*n1, 128)
+    di = dot(c2i, f2tr) + dot(c2r, f2ti)
+    mag = jnp.sqrt(dr * dr + di * di)
+
+    mode = cfg.cur_scan_cumu_mode
+    for b in range(t_tile):
+        if mode == CUMU_MIN:
+            acc = jnp.full((n1, n2), jnp.inf, jnp.float32)
+        else:
+            acc = jnp.zeros((n1, n2), jnp.float32)
+        for wi in range(w_cnt):
+            m = mag[b * wn1 + wi * n1: b * wn1 + (wi + 1) * n1, :]
+            if mode in (CUMU_AVG, CUMU_RAW):
+                acc = acc + jnp.float32(weights[wi] * adj_scale) * m
+            elif mode == CUMU_MAX:
+                acc = jnp.maximum(acc, jnp.float32(adj_scale) * m)
+            else:
+                acc = jnp.minimum(acc, jnp.float32(adj_scale) * m)
+        out_ref[b, :, :] = acc
+
+
+@functools.lru_cache(maxsize=32)
+def _build_sublane(cfg: SpecConfig, interpret: bool, t_tile: int = 1):
+    from kspecanal_tpu.ops.mxu_fft import _dft_tables_for
+    n = cfg.fft_size
+    n2 = _SUBLANE_N2
+    n1 = n // n2
+    full = cfg.full_size
+    w_cnt = cfg.num_windows
+    rows = full // n2
+    f1r, f1i, f2r, f2i, twr1, twi1 = _dft_tables_for(n, n1, n2)
+    wts = cumu_weights(cfg.cur_scan_cumu_mode, w_cnt)
+    weights = (None if wts is None else tuple(float(x) for x in wts))
+
+    win_t = jnp.asarray(np.tile(
+        window_lut(cfg.window, n).reshape(n1, n2), (w_cnt, 1)), jnp.float32)
+    # Twiddle: per-frame (n1, n2) tile -> sublane-tile W x lane-tile t_tile
+    twr = jnp.asarray(np.tile(twr1, (w_cnt, t_tile)), jnp.float32)
+    twi = jnp.asarray(np.tile(twi1, (w_cnt, t_tile)), jnp.float32)
+
+    wn1 = w_cnt * n1
+    use_blockdiag = wn1 <= _BLOCKDIAG_MAX_DIM
+    if use_blockdiag:
+        f1bdr = np.zeros((wn1, wn1), np.float32)
+        f1bdi = np.zeros((wn1, wn1), np.float32)
+        for w in range(w_cnt):
+            f1bdr[w * n1:(w + 1) * n1, w * n1:(w + 1) * n1] = f1r
+            f1bdi[w * n1:(w + 1) * n1, w * n1:(w + 1) * n1] = f1i
+        f1a, f1b = jnp.asarray(f1bdr), jnp.asarray(f1bdi)
+        f1shape = (wn1, wn1)
+    else:
+        f1a, f1b = jnp.asarray(f1r), jnp.asarray(f1i)
+        f1shape = (n1, n1)
+
+    kernel = functools.partial(_kernel_sublane, cfg=cfg, weights=weights,
+                               t_tile=t_tile, use_blockdiag=use_blockdiag)
+
+    def whole(shape):
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
+
+    flops_mm = 8 * n * (n1 + n2) * w_cnt
+
+    def call(iq_re, iq_im):
+        t = iq_re.shape[0]
+        assert t % t_tile == 0, (t, t_tile)
+        acc = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((t, n1, n2), jnp.float32),
+            grid=(t // t_tile,),
+            in_specs=[
+                pl.BlockSpec((t_tile, rows, n2), lambda i: (i, 0, 0)),
+                pl.BlockSpec((t_tile, rows, n2), lambda i: (i, 0, 0)),
+                whole(f1shape), whole(f1shape),
+                whole((n2, n2)), whole((n2, n2)),
+                whole((wn1, t_tile * n2)), whole((wn1, t_tile * n2)),
+                whole((wn1, n2)),
+            ],
+            out_specs=pl.BlockSpec((t_tile, n1, n2), lambda i: (i, 0, 0)),
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=t * (flops_mm + 12 * w_cnt * n),
+                bytes_accessed=t * (full * 8 + n * 4),
+                transcendentals=t * w_cnt * n,
+            ),
+        )(iq_re.reshape(t, rows, n2), iq_im.reshape(t, rows, n2),
+          f1a, f1b, jnp.asarray(f2r.T), jnp.asarray(f2i.T), twr, twi, win_t)
+        # X[k1 + N1*k2] = acc[k1, k2] -> natural order + fftshift
+        spec = acc.transpose(0, 2, 1).reshape(t, n)
+        return jnp.fft.fftshift(spec, axes=-1)
+
+    return jax.jit(call)
+
+
+def _vmem_estimate_sublane(cfg: SpecConfig, t_tile: int) -> int:
+    n = cfg.fft_size
+    n2 = _SUBLANE_N2
+    n1 = n // n2
+    w_cnt = cfg.num_windows
+    rows = cfg.full_size // n2
+    wn1 = w_cnt * n1
+    inputs = 2 * 2 * t_tile * rows * n2 * 4
+    # ar/ai + br/bi + cr/ci + c2/mag/d live arrays
+    inter = 11 * wn1 * (t_tile * n2) * 4
+    if cfg.tpu_precision.upper() == "HIGH":
+        inter += inter // 2
+    tables = 2 * (wn1 * wn1 if wn1 <= _BLOCKDIAG_MAX_DIM else n1 * n1) * 4
+    tables += 2 * n2 * n2 * 4 + 2 * wn1 * t_tile * n2 * 4 + wn1 * n2 * 4
+    return inputs + inter + tables
+
+
+def _auto_t_tile_sublane(cfg: SpecConfig, t: int) -> int:
+    for cand in (16, 8, 4, 2, 1):
+        if t % cand == 0 and (_vmem_estimate_sublane(cfg, cand)
+                              <= _T_TILE_VMEM_BUDGET):
+            return cand
+    return 1
+
+
+def curscan_fused_sublane(iq_re: jax.Array, iq_im: jax.Array,
+                          cfg: SpecConfig, t_tile: int = 0) -> jax.Array:
+    """Sublane-layout fused curscan: (T, full_size) -> (T, fft_size)
+    fftshifted linear spectra.  Requires ``supports_fused_sublane(cfg)``."""
+    if not supports_fused_sublane(cfg):
+        raise ValueError("config not supported by sublane fused kernel")
+    t = iq_re.shape[0]
+    if t_tile <= 0:
+        t_tile = _auto_t_tile_sublane(cfg, t)
+    interpret = jax.default_backend() != "tpu"
+    return _build_sublane(cfg, interpret, t_tile)(iq_re, iq_im)

@@ -154,9 +154,10 @@ def curscan_direct_batched(iq_re: jax.Array, iq_im: jax.Array,
     adj = win_adj(cfg.window, n)
 
     def one(re_row, im_row):
+        from kspecanal_tpu.ops.mxu_fft import matmul_precision
         ar = frame_signal(re_row, starts, n) * win     # (W, n)
         ai = frame_signal(im_row, starts, n) * win
-        hi = jax.lax.Precision.HIGHEST
+        hi = matmul_precision(cfg.tpu_precision)
         xr = (jnp.dot(ar, fr.T, precision=hi)
               - jnp.dot(ai, fi.T, precision=hi))
         xi = (jnp.dot(ai, fr.T, precision=hi)

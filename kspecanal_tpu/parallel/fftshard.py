@@ -35,7 +35,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from kspecanal_tpu.config import (CUMU_AVG, CUMU_MAX, CUMU_MIN, CUMU_RAW,
                                   SpecConfig, cumu_weights, win_adj,
                                   window_lut)
-from kspecanal_tpu.ops.mxu_fft import _dft_tables, _factorize
+from kspecanal_tpu.ops.mxu_fft import (_dft_tables, _factorize,
+                                       matmul_precision)
 
 
 def supports_fft_sharding(cfg: SpecConfig, num_shards: int) -> bool:
@@ -55,7 +56,7 @@ def _shard_body(iq_re, iq_im, col_idx, f1r, f1i, f2r_sl, f2i_sl,
     w_cnt = cfg.num_windows
     adj_scale = jnp.float32(win_adj(cfg.window, n) * 2.0 / n)
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
+                            precision=matmul_precision(cfg.tpu_precision))
 
     mode = cfg.cur_scan_cumu_mode
     if mode == CUMU_MIN:

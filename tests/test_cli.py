@@ -103,3 +103,31 @@ def test_tpu_run_options():
 def test_print_info_runs(capsys):
     cfg, _ = parse_args(["zeroSpan"])
     print_info(cfg)  # must not raise
+
+
+def test_reference_key_parity():
+    """Every CLI key the reference's handle_args accepts (the == 'KEY'
+    comparisons at kspecanal.py:813-911) must parse here too."""
+    from kspecanal_tpu.cli import _KEYMAP
+    reference_keys = {
+        "ADJSIGLVLS", "BDATAAVG", "BDATACUR", "BDATAMAX", "BDATAMIN",
+        "BGRID", "BPLTHEATMAP", "BPLTLEVELS", "BSCANRANGEBASEDATAISRAW",
+        "BUSEPSD", "CENTERFREQ", "CURSCANCUMUMODE", "CURSCANNONOVERLAP",
+        "ENDFREQ", "FFTSIZE", "GAIN", "MINAMP4CLIP", "PLTCOMPRESS",
+        "PLTHIGHSDELTA4MARKING", "PLTHIGHSNUMMARKERS", "PLTHIGHSPAUSE",
+        "PRGLOOPCNT", "SAMPLINGRATE", "SAVESIGLVLS", "SCANRANGENONOVERLAP",
+        "STARTFREQ", "WINDOW", "XRES", "ZEROSPANPLAYFILE",
+        "ZEROSPANSAVEFILE",
+    }
+    assert reference_keys <= set(_KEYMAP)
+
+
+def test_tpu_precision_option():
+    cfg, _ = parse_args(["zeroSpan", "tpuPrecision", "high"])
+    assert cfg.tpu_precision == "HIGH"
+    from kspecanal_tpu.ops.mxu_fft import matmul_precision
+    import jax
+    assert matmul_precision("high") == jax.lax.Precision.HIGH
+    assert matmul_precision("DEFAULT") == jax.lax.Precision.DEFAULT
+    with pytest.raises(ValueError):
+        matmul_precision("bogus")

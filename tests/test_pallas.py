@@ -83,3 +83,65 @@ def test_direct_dft_matches_chain(rng):
         want = np.asarray(jax.jit(
             lambda r, i: curscan_batched(r, i, cfg))(re, im))
         assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 1e-5
+
+
+def test_fused_precision_variants_match_on_cpu():
+    """tpuPrecision changes MXU pass count on hardware; in interpret mode
+    DEFAULT/HIGHEST are both plain f32 (exact match), while HIGH applies
+    its hand-rolled bf16x3 operand split everywhere (~1e-5 relative)."""
+    import dataclasses
+    from kspecanal_tpu.config import SpecConfig, WINDOW_HANNING
+    from kspecanal_tpu.ops.pallas_curscan import curscan_fused, supports_fused
+    cfg = SpecConfig(prg_mode="ZEROSPAN", fft_size=2048, sampling_rate=2.4e6,
+                     window=WINDOW_HANNING, cur_scan_non_overlap=0.5).finalize()
+    assert supports_fused(cfg)
+    rng = np.random.default_rng(3)
+    re = jnp.asarray(rng.standard_normal((2, cfg.full_size)), jnp.float32)
+    im = jnp.asarray(rng.standard_normal((2, cfg.full_size)), jnp.float32)
+    base = curscan_fused(re, im, cfg)
+    got = curscan_fused(re, im, dataclasses.replace(cfg, tpu_precision="DEFAULT"))
+    np.testing.assert_allclose(got, base, rtol=0, atol=0)
+    got = curscan_fused(re, im, dataclasses.replace(cfg, tpu_precision="HIGH"))
+    np.testing.assert_allclose(got, base, rtol=2e-4, atol=1e-8)
+
+
+def test_fused_t_tile_matches_untiled():
+    """Multi-block grid steps (t_tile) must be bit-identical to t_tile=1."""
+    from kspecanal_tpu.config import SpecConfig, WINDOW_KAISER
+    from kspecanal_tpu.ops.pallas_curscan import curscan_fused
+    cfg = SpecConfig(prg_mode="ZEROSPAN", fft_size=2048, sampling_rate=2.4e6,
+                     window=WINDOW_KAISER, cur_scan_non_overlap=0.5).finalize()
+    rng = np.random.default_rng(4)
+    re = jnp.asarray(rng.standard_normal((4, cfg.full_size)), jnp.float32)
+    im = jnp.asarray(rng.standard_normal((4, cfg.full_size)), jnp.float32)
+    base = curscan_fused(re, im, cfg, t_tile=1)
+    for tt in (2, 4):
+        got = curscan_fused(re, im, cfg, t_tile=tt)
+        # same math; only the dot's lane grouping changes, so any delta is
+        # accumulation-order float noise
+        np.testing.assert_allclose(got, base, rtol=2e-6, atol=1e-9)
+
+
+def test_sublane_fused_matches_xla_chain():
+    """Sublane-layout fused kernel vs the XLA chain across sizes, including
+    sizes below the lane-layout threshold (works from fft 256 up)."""
+    import dataclasses
+    from kspecanal_tpu.config import SpecConfig, WINDOW_KAISER
+    from kspecanal_tpu.ops.pallas_curscan import (curscan_fused_sublane,
+                                                  supports_fused_sublane)
+    from kspecanal_tpu.ops.spectrum import curscan_batched
+    rng = np.random.default_rng(11)
+    for fft in (256, 2048):
+        cfg = SpecConfig(prg_mode="ZEROSPAN", fft_size=fft,
+                         sampling_rate=2.4e6, window=WINDOW_KAISER,
+                         cur_scan_non_overlap=0.5).finalize()
+        assert supports_fused_sublane(cfg)
+        re = jnp.asarray(rng.standard_normal((2, cfg.full_size)), jnp.float32)
+        im = jnp.asarray(rng.standard_normal((2, cfg.full_size)), jnp.float32)
+        ref = curscan_batched(re, im, cfg)
+        got = curscan_fused_sublane(re, im, cfg, t_tile=2)
+        np.testing.assert_allclose(got, ref, rtol=5e-5, atol=1e-9)
+    # fractional hop (0.1 nonOverlap -> truncated starts) is NOT supported
+    frac = SpecConfig(prg_mode="ZEROSPAN", fft_size=2048, sampling_rate=2.4e6,
+                      window=WINDOW_KAISER, cur_scan_non_overlap=0.1).finalize()
+    assert not supports_fused_sublane(frac)
