@@ -120,6 +120,16 @@ def main():
     base = numpy_baseline_samples_per_s(cfg, t_blocks=8)
     details["fft2048"] = {"tpu": value, "cpu_oracle": base}
 
+    # Precision ladder on the primary config (tpuPrecision option):
+    # HIGH = hand-rolled bf16x3 (~2e-5 rel err), DEFAULT = one bf16 pass
+    # (~1e-2 rel err — the fast mode for 8-bit-ADC sources).
+    import dataclasses
+    for prec in ("HIGH", "DEFAULT"):
+        _progress(f"primary at tpuPrecision {prec}...")
+        cp = dataclasses.replace(cfg, tpu_precision=prec)
+        details[f"fft2048_{prec.lower()}"] = {
+            "tpu": device_samples_per_s(cp, t_blocks=2048)}
+
     # Secondary: spot checks across the 64-16384 fftSize range
     for fft_size, t_blocks in ((64, 4096), (4096, 1024), (16384, 256)):
         c = SpecConfig(prg_mode="ZEROSPAN", fft_size=fft_size,

@@ -495,3 +495,192 @@ def curscan_fused_sublane(iq_re: jax.Array, iq_im: jax.Array,
         t_tile = _auto_t_tile_sublane(cfg, t)
     interpret = jax.default_backend() != "tpu"
     return _build_sublane(cfg, interpret, t_tile)(iq_re, iq_im)
+
+
+# ---------------------------------------------------------------------------
+# Pre-framed sublane kernel: fractional / misaligned hops.
+#
+# The reference's DEFAULT overlap is 90% (curScanNonOverlap 0.1,
+# kspecanal.py:45) with per-index truncated starts int(i*fftSize*0.1)
+# (kspecanal.py:386) — not 128-aligned, so the zero-copy framing above
+# cannot apply.  At 90% overlap ANY implementation must touch ~10x the
+# samples; XLA's chain materializes the (W, fft_size) frame matrix and
+# then round-trips HBM for every stage after (window, FFT, |.|, reduce).
+# Here XLA does only the gather (one fused copy); the kernel consumes the
+# framed array once and does everything else in VMEM.
+#
+# Window axis is a second grid dimension (groups of `gw` windows) with
+# in-kernel accumulation into the output block, so VMEM holds one group
+# at a time.  The cumulate weights live in SMEM indexed by group id; a
+# ragged last group is padded with REPEATED window 0 (weight 0 kills the
+# duplicates for AVG/RAW; duplicates are idempotent for MAX/MIN).
+# ---------------------------------------------------------------------------
+
+
+def supports_fused_framed(cfg: SpecConfig) -> bool:
+    """Any hop pattern; needs fft_size a multiple of 128 with n1 >= 2."""
+    n = cfg.fft_size
+    return n % _SUBLANE_N2 == 0 and n // _SUBLANE_N2 >= 2
+
+
+def _kernel_framed(a_re_ref, a_im_ref, f1bdr_ref, f1bdi_ref, f2tr_ref,
+                   f2ti_ref, twr_ref, twi_ref, winr_ref, w_ref, out_ref, *,
+                   cfg: SpecConfig, gw: int, n1: int, use_blockdiag: bool):
+    n2 = _SUBLANE_N2
+    n = cfg.fft_size
+    adj_scale = jnp.float32(win_adj(cfg.window, n) * 2.0 / n)
+    dot = _make_dot(cfg.tpu_precision)
+    mode = cfg.cur_scan_cumu_mode
+    wg = pl.program_id(1)
+
+    ar = a_re_ref[0] * winr_ref[...]          # (gw*n1, 128) framed+windowed
+    ai = a_im_ref[0] * winr_ref[...]
+
+    f1r, f1i = f1bdr_ref[...], f1bdi_ref[...]
+    if use_blockdiag:
+        br = dot(f1r, ar) - dot(f1i, ai)
+        bi = dot(f1r, ai) + dot(f1i, ar)
+    else:
+        brs, bis = [], []
+        for j in range(gw):
+            arw = ar[j * n1:(j + 1) * n1, :]
+            aiw = ai[j * n1:(j + 1) * n1, :]
+            brs.append(dot(f1r, arw) - dot(f1i, aiw))
+            bis.append(dot(f1r, aiw) + dot(f1i, arw))
+        br = jnp.concatenate(brs, axis=0)
+        bi = jnp.concatenate(bis, axis=0)
+
+    twr, twi = twr_ref[...], twi_ref[...]     # (gw*n1, 128)
+    cr = br * twr - bi * twi
+    ci = br * twi + bi * twr
+
+    f2tr, f2ti = f2tr_ref[...], f2ti_ref[...]
+    dr = dot(cr, f2tr) - dot(ci, f2ti)        # (gw*n1, 128)
+    di = dot(ci, f2tr) + dot(cr, f2ti)
+    mag = jnp.sqrt(dr * dr + di * di)
+
+    if mode == CUMU_MIN:
+        acc = jnp.full((n1, n2), jnp.inf, jnp.float32)
+    else:
+        acc = jnp.zeros((n1, n2), jnp.float32)
+    for j in range(gw):
+        m = mag[j * n1:(j + 1) * n1, :]
+        if mode in (CUMU_AVG, CUMU_RAW):
+            acc = acc + w_ref[wg, j] * adj_scale * m
+        elif mode == CUMU_MAX:
+            acc = jnp.maximum(acc, adj_scale * m)
+        else:
+            acc = jnp.minimum(acc, adj_scale * m)
+
+    @pl.when(wg == 0)
+    def _init():
+        out_ref[0] = acc
+
+    @pl.when(wg > 0)
+    def _accum():
+        if mode in (CUMU_AVG, CUMU_RAW):
+            out_ref[0] += acc
+        elif mode == CUMU_MAX:
+            out_ref[0] = jnp.maximum(out_ref[0], acc)
+        else:
+            out_ref[0] = jnp.minimum(out_ref[0], acc)
+
+
+@functools.lru_cache(maxsize=32)
+def _build_framed(cfg: SpecConfig, interpret: bool):
+    from jax.experimental.pallas import tpu as pltpu
+    from kspecanal_tpu.ops.mxu_fft import _dft_tables_for
+    n = cfg.fft_size
+    n2 = _SUBLANE_N2
+    n1 = n // n2
+    w_cnt = cfg.num_windows
+    f1r, f1i, f2r, f2i, twr1, twi1 = _dft_tables_for(n, n1, n2)
+
+    gw = max(1, min(w_cnt, _BLOCKDIAG_MAX_DIM // n1))
+    nwg = -(-w_cnt // gw)
+    w_pad = nwg * gw
+
+    # Frame index table: window j's frame is x[starts[j] : starts[j]+n],
+    # reshaped (n1, n2).  Ragged tail groups REPEAT window 0.
+    starts = list(cfg.window_starts) + [cfg.window_starts[0]] * (w_pad - w_cnt)
+    gather = np.zeros((w_pad, n), np.int32)
+    for j, s in enumerate(starts):
+        gather[j] = s + np.arange(n, dtype=np.int32)
+    gather_j = jnp.asarray(gather.reshape(w_pad * n1, n2))
+
+    wts = cumu_weights(cfg.cur_scan_cumu_mode, w_cnt)
+    if wts is None:
+        wts = np.ones(w_cnt)
+    w_tbl = np.zeros((nwg, gw), np.float32)
+    w_tbl.ravel()[:w_cnt] = wts
+    w_tbl_j = jnp.asarray(w_tbl)
+
+    win_t = jnp.asarray(np.tile(
+        window_lut(cfg.window, n).reshape(n1, n2), (gw, 1)), jnp.float32)
+    twr = jnp.asarray(np.tile(twr1, (gw, 1)), jnp.float32)
+    twi = jnp.asarray(np.tile(twi1, (gw, 1)), jnp.float32)
+
+    use_blockdiag = gw > 1
+    if use_blockdiag:
+        bd = gw * n1
+        f1bdr = np.zeros((bd, bd), np.float32)
+        f1bdi = np.zeros((bd, bd), np.float32)
+        for j in range(gw):
+            f1bdr[j * n1:(j + 1) * n1, j * n1:(j + 1) * n1] = f1r
+            f1bdi[j * n1:(j + 1) * n1, j * n1:(j + 1) * n1] = f1i
+        f1a, f1b = jnp.asarray(f1bdr), jnp.asarray(f1bdi)
+        f1shape = (bd, bd)
+    else:
+        f1a, f1b = jnp.asarray(f1r), jnp.asarray(f1i)
+        f1shape = (n1, n1)
+
+    kernel = functools.partial(_kernel_framed, cfg=cfg, gw=gw, n1=n1,
+                               use_blockdiag=use_blockdiag)
+
+    def whole(shape):
+        return pl.BlockSpec(shape, lambda i, g: tuple(0 for _ in shape))
+
+    flops_mm = 8 * n * (n1 + n2) * w_cnt
+
+    def call(iq_re, iq_im):
+        t = iq_re.shape[0]
+        # XLA-side framing: ONE fused gather per plane -> (t, w_pad*n1, n2)
+        a_re = jnp.take(iq_re, gather_j, axis=1)
+        a_im = jnp.take(iq_im, gather_j, axis=1)
+        acc = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((t, n1, n2), jnp.float32),
+            grid=(t, nwg),
+            in_specs=[
+                pl.BlockSpec((1, gw * n1, n2), lambda i, g: (i, g, 0)),
+                pl.BlockSpec((1, gw * n1, n2), lambda i, g: (i, g, 0)),
+                whole(f1shape), whole(f1shape),
+                whole((n2, n2)), whole((n2, n2)),
+                whole((gw * n1, n2)), whole((gw * n1, n2)),
+                whole((gw * n1, n2)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((1, n1, n2), lambda i, g: (i, 0, 0)),
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=t * (flops_mm + 12 * w_cnt * n),
+                bytes_accessed=t * (w_pad * n * 8 + n * 4),
+                transcendentals=t * w_cnt * n,
+            ),
+        )(a_re, a_im, f1a, f1b, jnp.asarray(f2r.T), jnp.asarray(f2i.T),
+          twr, twi, win_t, w_tbl_j)
+        spec = acc.transpose(0, 2, 1).reshape(t, n)
+        return jnp.fft.fftshift(spec, axes=-1)
+
+    return jax.jit(call)
+
+
+def curscan_fused_framed(iq_re: jax.Array, iq_im: jax.Array,
+                         cfg: SpecConfig) -> jax.Array:
+    """Fused curscan for ARBITRARY window starts (fractional hop):
+    XLA gathers the overlapped frames, the kernel fuses window multiply,
+    DFT, magnitude and cumulate.  (T, full_size) -> (T, fft_size)."""
+    if not supports_fused_framed(cfg):
+        raise ValueError("fft_size not a multiple of 128 (or < 256)")
+    interpret = jax.default_backend() != "tpu"
+    return _build_framed(cfg, interpret)(iq_re, iq_im)

@@ -171,17 +171,64 @@ def curscan_direct_batched(iq_re: jax.Array, iq_im: jax.Array,
     return jax.vmap(one)(iq_re, iq_im)
 
 
+def _fused_choice(cfg: SpecConfig) -> Optional[str]:
+    """Pick the fused-kernel layout for this (fft_size, precision) cell
+    from the hardware-measured table (scripts/perf_followup.py, v5e):
+
+      Gsamp/s         HIGHEST   HIGH   DEFAULT
+      256   sublane     3.06            4.92     (direct DFT: 2.33)
+      512   sublane     3.22
+      1024  sublane     4.07     5.40   6.55
+      2048  sublane     3.54     5.06   7.42     (lane: 2.29/2.62/3.04)
+      4096  lane        3.19     4.35   (6.43 sublane)
+      8192  sublane     4.31            7.00     (lane: 3.09/-/5.55)
+      16384 lane        4.69     (6.16 sublane)  8.52
+
+    Sublane wins wherever its stage-1 block-diag stays small (n1 <= 32)
+    or the lane layout's lane-padding bites; the lane layout's bigger DFT
+    factors win at 4096/16384 HIGHEST where the 6-pass matmuls dominate.
+    """
+    from kspecanal_tpu.ops import pallas_curscan as pk
+    fft = cfg.fft_size
+    prec = cfg.tpu_precision.upper()
+    sub_ok = pk.supports_fused_sublane(cfg)
+    lane_ok = pk.supports_fused(cfg) and fft >= 2048
+    if not (sub_ok or lane_ok):
+        return None
+    if sub_ok and lane_ok:
+        if fft == 4096:
+            return "sublane" if prec == "DEFAULT" else "lane"
+        if fft >= 16384:
+            return "sublane" if prec == "HIGH" else "lane"
+        return "sublane"
+    return "sublane" if sub_ok else "lane"
+
+
 def curscan_auto_batched(iq_re: jax.Array, iq_im: jax.Array,
                          cfg: SpecConfig) -> jax.Array:
     """Best batched curscan for the current backend:
-      * fused Pallas kernel on TPU for fft_size >= 2048 with aligned
-        window starts (1.1-3.3x the XLA chain — scripts/perf_probe.py);
-      * direct DFT matmul on TPU for fft_size <= 256 (tiny-FFT regime);
+      * a fused Pallas kernel on TPU when the window starts are aligned
+        (layout per the measured table in ``_fused_choice``);
+      * the pre-framed fused kernel for fractional/misaligned hops
+        (e.g. the reference-default 90% overlap) when fft_size % 128 == 0;
+      * direct DFT matmul on TPU for tiny fft_size (64/128);
       * the XLA gather+FFT chain otherwise."""
     from kspecanal_tpu.ops import pallas_curscan
     if jax.default_backend() == "tpu":
-        if (cfg.fft_size >= 2048 and pallas_curscan.supports_fused(cfg)):
+        choice = _fused_choice(cfg)
+        if choice == "sublane":
+            return pallas_curscan.curscan_fused_sublane(iq_re, iq_im, cfg)
+        if choice == "lane":
             return pallas_curscan.curscan_fused(iq_re, iq_im, cfg)
-        if cfg.fft_size <= 256:
+        # Fractional-hop (e.g. the reference-default 90% overlap): framed
+        # kernel vs XLA chain, measured at ovl=0.9 (Gsamp/s):
+        #   2048:  xla 0.40 | framed 0.36 / 0.54 / 0.86 (HIGHEST/HIGH/DEF)
+        #   16384: xla 0.21 | framed 0.38 / 0.52 / 0.63
+        # -> framed wins except small-fft HIGHEST.
+        if pallas_curscan.supports_fused_framed(cfg) and not (
+                cfg.tpu_precision.upper() == "HIGHEST"
+                and cfg.fft_size < 4096):
+            return pallas_curscan.curscan_fused_framed(iq_re, iq_im, cfg)
+        if cfg.fft_size <= 128:
             return curscan_direct_batched(iq_re, iq_im, cfg)
     return curscan_batched(iq_re, iq_im, cfg)

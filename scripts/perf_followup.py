@@ -136,6 +136,91 @@ def sublane_layout():
         del re, im, planes
 
 
+
+
+def dispatch_matrix():
+    """Fill the remaining (size, precision, layout) cells for the auto
+    dispatch table."""
+    import dataclasses
+    from kspecanal_tpu.config import SpecConfig, WINDOW_KAISER
+    from kspecanal_tpu.ops.pallas_curscan import (curscan_fused,
+                                                  curscan_fused_sublane)
+    from kspecanal_tpu.ops.spectrum import curscan_direct_batched
+
+    print("# dispatch matrix fill", flush=True)
+    cases = [
+        (256, 8192, [("sub", 16, "HIGHEST"), ("sub", 16, "DEFAULT"),
+                     ("dir", 0, "HIGHEST")]),
+        (1024, 4096, [("sub", 8, "HIGH"), ("sub", 8, "DEFAULT")]),
+        (2048, 2048, [("sub", 8, "HIGHEST"), ("sub", 8, "HIGH"),
+                      ("sub", 8, "DEFAULT")]),
+        (4096, 1024, [("sub", 4, "HIGHEST"), ("sub", 2, "HIGH"),
+                      ("lane", 2, "HIGH")]),
+        (8192, 512, [("lane", 0, "HIGHEST"), ("lane", 0, "DEFAULT"),
+                     ("sub", 0, "HIGHEST"), ("sub", 0, "DEFAULT")]),
+        (16384, 256, [("sub", 0, "HIGH"), ("lane", 0, "HIGH")]),
+    ]
+    for fft, T, specs in cases:
+        cfg0 = SpecConfig(prg_mode="ZEROSPAN", fft_size=fft,
+                          sampling_rate=2.4e6, window=WINDOW_KAISER,
+                          cur_scan_non_overlap=0.5).finalize()
+        mk = jax.jit(lambda k: jax.random.normal(
+            k, (2, T, cfg0.full_size), jnp.float32))
+        planes = mk(jax.random.key(0))
+        re, im = planes[0], planes[1]
+        for layout, tt, prec in specs:
+            cfg = dataclasses.replace(cfg0, tpu_precision=prec)
+            if layout == "sub":
+                fn = lambda r, i, c=cfg, t=tt: curscan_fused_sublane(r, i, c, t)
+            elif layout == "lane":
+                fn = lambda r, i, c=cfg, t=tt: curscan_fused(r, i, c, t)
+            else:
+                fn = jax.jit(lambda r, i, c=cfg: curscan_direct_batched(r, i, c))
+            try:
+                meas(fn, re, im,
+                     f"{layout:4s} fft={fft:5d} {prec:7s} t_tile={tt}")
+            except Exception as e:
+                print(f"{layout} fft={fft} {prec} t_tile={tt}: "
+                      f"FAILED {type(e).__name__}: {str(e)[:120]}", flush=True)
+        del re, im, planes
+
+
+
+
+def framed_overlap():
+    """Pre-framed fused kernel vs the XLA chain at 90% overlap (the
+    reference default, fractional hop)."""
+    import dataclasses
+    from kspecanal_tpu.config import SpecConfig, WINDOW_KAISER
+    from kspecanal_tpu.ops.pallas_curscan import curscan_fused_framed
+    from kspecanal_tpu.ops.spectrum import curscan_batched
+
+    print("# framed kernel at 90% overlap (fractional hop)", flush=True)
+    rng = np.random.default_rng(7)
+    for fft, T in [(2048, 512), (16384, 64)]:
+        cfg0 = SpecConfig(prg_mode="ZEROSPAN", fft_size=fft,
+                          sampling_rate=2.4e6, window=WINDOW_KAISER,
+                          cur_scan_non_overlap=0.1).finalize()
+        a_re = rng.standard_normal((2, cfg0.full_size)).astype(np.float32)
+        a_im = rng.standard_normal((2, cfg0.full_size)).astype(np.float32)
+        ref = _oracle_curscan(a_re, a_im, cfg0)
+        mk = jax.jit(lambda k: jax.random.normal(
+            k, (2, T, cfg0.full_size), jnp.float32))
+        planes = mk(jax.random.key(0))
+        re, im = planes[0], planes[1]
+        meas(jax.jit(lambda r, i, c=cfg0: curscan_batched(r, i, c)),
+             re, im, f"xla    fft={fft:5d} ovl=0.9")
+        for prec in ("HIGHEST", "HIGH", "DEFAULT"):
+            cfg = dataclasses.replace(cfg0, tpu_precision=prec)
+            got = np.asarray(curscan_fused_framed(
+                jnp.asarray(a_re), jnp.asarray(a_im), cfg))
+            err = np.max(np.abs(got - ref) / np.maximum(np.abs(ref), 1e-12))
+            print(f"  fft={fft} {prec}: max_rel_err={err:.3e}", flush=True)
+            meas(lambda r, i, c=cfg: curscan_fused_framed(r, i, c),
+                 re, im, f"framed fft={fft:5d} {prec:7s} ovl=0.9")
+        del re, im, planes
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("all", "small"):
@@ -144,3 +229,7 @@ if __name__ == "__main__":
         precision_tradeoff()
     if which in ("all", "sublane"):
         sublane_layout()
+    if which in ("all", "matrix"):
+        dispatch_matrix()
+    if which in ("all", "framed"):
+        framed_overlap()

@@ -145,3 +145,52 @@ def test_sublane_fused_matches_xla_chain():
     frac = SpecConfig(prg_mode="ZEROSPAN", fft_size=2048, sampling_rate=2.4e6,
                       window=WINDOW_KAISER, cur_scan_non_overlap=0.1).finalize()
     assert not supports_fused_sublane(frac)
+
+
+def test_framed_fused_fractional_hop():
+    """Pre-framed kernel handles the reference's DEFAULT 90% overlap
+    (truncated non-uniform starts, kspecanal.py:386) for every cumulate
+    mode, including ragged window groups."""
+    import dataclasses
+    from kspecanal_tpu.config import SpecConfig, WINDOW_KAISER
+    from kspecanal_tpu.ops.pallas_curscan import (curscan_fused_framed,
+                                                  supports_fused_framed)
+    from kspecanal_tpu.ops.spectrum import curscan_batched
+    rng = np.random.default_rng(12)
+    for fft, nono, mode in [(2048, 0.1, "AVG"), (256, 0.1, "MAX"),
+                            (1024, 0.25, "MIN")]:
+        cfg = SpecConfig(prg_mode="ZEROSPAN", fft_size=fft,
+                         sampling_rate=2.4e6, window=WINDOW_KAISER,
+                         cur_scan_non_overlap=nono,
+                         cur_scan_cumu_mode=mode).finalize()
+        assert supports_fused_framed(cfg)
+        re = jnp.asarray(rng.standard_normal((2, cfg.full_size)), jnp.float32)
+        im = jnp.asarray(rng.standard_normal((2, cfg.full_size)), jnp.float32)
+        ref = curscan_batched(re, im, cfg)
+        got = curscan_fused_framed(re, im, cfg)
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=1e-9)
+    assert not supports_fused_framed(SpecConfig(fft_size=192))
+    assert not supports_fused_framed(SpecConfig(fft_size=128))
+
+
+def test_fused_choice_table():
+    """Dispatch picks the hardware-measured winner per (fft, precision)."""
+    import dataclasses
+    from kspecanal_tpu.config import SpecConfig, WINDOW_KAISER
+    from kspecanal_tpu.ops.spectrum import _fused_choice
+    def cfg(fft, prec="HIGHEST", nono=0.5):
+        return SpecConfig(prg_mode="ZEROSPAN", fft_size=fft,
+                          sampling_rate=2.4e6, window=WINDOW_KAISER,
+                          cur_scan_non_overlap=nono,
+                          tpu_precision=prec).finalize()
+    assert _fused_choice(cfg(256)) == "sublane"
+    assert _fused_choice(cfg(2048)) == "sublane"
+    assert _fused_choice(cfg(8192)) == "sublane"
+    assert _fused_choice(cfg(4096, "HIGHEST")) == "lane"
+    assert _fused_choice(cfg(4096, "DEFAULT")) == "sublane"
+    assert _fused_choice(cfg(16384, "HIGHEST")) == "lane"
+    assert _fused_choice(cfg(16384, "HIGH")) == "sublane"
+    # fractional hop: no aligned layout applies
+    assert _fused_choice(cfg(2048, nono=0.1)) is None
+    # 64 is not 128-divisible -> no sublane; lane needs >= 2048
+    assert _fused_choice(cfg(64)) is None
