@@ -54,6 +54,14 @@ def supports_fused(cfg: SpecConfig) -> bool:
 # Mosaic compiler on this backend, hence the conservative cap.
 _BLOCKDIAG_MAX_DIM = 512
 
+# Block-diagonal matmuls waste FLOPs proportionally to their dimension
+# (only 1/num_blocks of the operand is nonzero), so they are applied in
+# chunks of this many rows/cols: one MXU tile — the sweet spot between
+# bd waste (grows with chunk) and matmul-shape efficiency (shrinks
+# below 128).  The diagonal pattern repeats, so one chunk-sized table
+# serves every chunk; ragged tails take a static top-left slice.
+_BD_CHUNK = 128
+
 
 def _make_dot(precision_name: str):
     """In-kernel dot for the requested tpuPrecision.
@@ -83,7 +91,7 @@ def _make_dot(precision_name: str):
 
 def _kernel(re_ref, im_ref, f1r_ref, f1i_ref, f2bdr_ref, f2bdi_ref,
             twr_ref, twi_ref, winr_ref, out_re_ref, *, cfg: SpecConfig,
-            weights, use_blockdiag: bool, t_tile: int):
+            weights, t_tile: int):
     n = cfg.fft_size
     n1, n2 = _factorize(n)
     w_cnt = cfg.num_windows
@@ -129,28 +137,26 @@ def _kernel(re_ref, im_ref, f1r_ref, f1i_ref, f2bdr_ref, f2bdi_ref,
                 acc = jnp.minimum(acc, jnp.float32(adj_scale) * m)
         return acc
 
+    # Stage 2 (contract n2) in chunked block-diag form: cf2 windows per
+    # (cf2*n2)^2 chunk table (see _BD_CHUNK).
+    f2bdr, f2bdi = f2bdr_ref[...], f2bdi_ref[...]
+    cf2 = max(1, min(w_cnt, _BD_CHUNK // n2))
     wn2 = w_cnt * n2
     for b in range(t_tile):
         crb = cr[:, b * wn2:(b + 1) * wn2]
         cib = ci[:, b * wn2:(b + 1) * wn2]
-        if use_blockdiag:
-            # stage 2 all windows at once: C (n1, W*n2) @ F2bd (W*n2, W*n2)
-            f2bdr, f2bdi = f2bdr_ref[...], f2bdi_ref[...]
-            dr = dot(crb, f2bdr) - dot(cib, f2bdi)
-            di = dot(cib, f2bdr) + dot(crb, f2bdi)
-            mag = jnp.sqrt(dr * dr + di * di)  # (n1, W*n2) [k1 ; w,k2]
-            acc = reduce_mags(mag)
-        else:
-            # per-window stage 2 (f2bd refs hold plain F2^T here)
-            f2rt, f2it = f2bdr_ref[...], f2bdi_ref[...]
-            mags = []
-            for wi in range(w_cnt):
-                crw = crb[:, wi * n2:(wi + 1) * n2]
-                ciw = cib[:, wi * n2:(wi + 1) * n2]
-                dr = dot(crw, f2rt) - dot(ciw, f2it)
-                di = dot(ciw, f2rt) + dot(crw, f2it)
-                mags.append(jnp.sqrt(dr * dr + di * di))
-            acc = reduce_mags(jnp.concatenate(mags, axis=1))
+        mags = []
+        for c in range(0, w_cnt, cf2):
+            cols = min(cf2, w_cnt - c) * n2
+            c0 = c * n2
+            f2r_c, f2i_c = f2bdr[:cols, :cols], f2bdi[:cols, :cols]
+            crc = crb[:, c0:c0 + cols]
+            cic = cib[:, c0:c0 + cols]
+            dr = dot(crc, f2r_c) - dot(cic, f2i_c)
+            di = dot(cic, f2r_c) + dot(crc, f2i_c)
+            mags.append(jnp.sqrt(dr * dr + di * di))
+        mag = mags[0] if len(mags) == 1 else jnp.concatenate(mags, axis=1)
+        acc = reduce_mags(mag)                # (n1, W*n2) [k1 ; w,k2]
         out_re_ref[b, :, :] = acc
 
 
@@ -171,23 +177,20 @@ def _build(cfg: SpecConfig, interpret: bool, t_tile: int = 1):
     twr = jnp.asarray(np.tile(twr1, (1, w_cnt * t_tile)), jnp.float32)
     twi = jnp.asarray(np.tile(twi1, (1, w_cnt * t_tile)), jnp.float32)
 
-    use_blockdiag = (w_cnt * n2) <= _BLOCKDIAG_MAX_DIM
-    if use_blockdiag:
-        # F2bd[(w*n2 + m), (w*n2 + k2)] = F2[k2, m]  (block-diag of F2^T)
-        bd = w_cnt * n2
-        f2bdr = np.zeros((bd, bd), np.float32)
-        f2bdi = np.zeros((bd, bd), np.float32)
-        for w in range(w_cnt):
-            f2bdr[w * n2:(w + 1) * n2, w * n2:(w + 1) * n2] = f2r.T
-            f2bdi[w * n2:(w + 1) * n2, w * n2:(w + 1) * n2] = f2i.T
-        f2a, f2b = jnp.asarray(f2bdr), jnp.asarray(f2bdi)
-        f2shape = (bd, bd)
-    else:
-        f2a, f2b = jnp.asarray(f2r.T), jnp.asarray(f2i.T)
-        f2shape = (n2, n2)
+    # F2bd[(w*n2 + m), (w*n2 + k2)] = F2[k2, m]: chunked block-diag of
+    # F2^T — ONE (cf2*n2)^2 chunk table reused across chunks.
+    cf2 = max(1, min(w_cnt, _BD_CHUNK // n2))
+    bd = cf2 * n2
+    f2bdr = np.zeros((bd, bd), np.float32)
+    f2bdi = np.zeros((bd, bd), np.float32)
+    for w in range(cf2):
+        f2bdr[w * n2:(w + 1) * n2, w * n2:(w + 1) * n2] = f2r.T
+        f2bdi[w * n2:(w + 1) * n2, w * n2:(w + 1) * n2] = f2i.T
+    f2a, f2b = jnp.asarray(f2bdr), jnp.asarray(f2bdi)
+    f2shape = (bd, bd)
 
     kernel = functools.partial(_kernel, cfg=cfg, weights=weights,
-                               use_blockdiag=use_blockdiag, t_tile=t_tile)
+                               t_tile=t_tile)
 
     def whole(shape):
         return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
@@ -248,9 +251,9 @@ def _vmem_estimate(cfg: SpecConfig, t_tile: int) -> int:
     inter = 6 * n1 * (t_tile * w_cnt * n2) * 4
     if cfg.tpu_precision.upper() == "HIGH":
         inter += inter // 2
-    bd = w_cnt * n2
+    bd = max(1, min(w_cnt, _BD_CHUNK // n2)) * n2
     tables = 2 * n1 * n1 * 4 + 2 * n1 * t_tile * w_cnt * n2 * 4
-    tables += 2 * (bd * bd if bd <= _BLOCKDIAG_MAX_DIM else n2 * n2) * 4
+    tables += 2 * bd * bd * 4
     return inputs + inter + tables
 
 
@@ -319,9 +322,30 @@ def supports_fused_sublane(cfg: SpecConfig) -> bool:
     return all(s % _SUBLANE_N2 == 0 for s in cfg.window_starts)
 
 
+def _bd_dot_left(dot, f1r, f1i, ar, ai, n1: int, w_cnt: int, cf: int):
+    """Chunked block-diagonal stage-1: B = blockdiag_W(F1) @ A, applied in
+    chunks of ``cf`` frames against ONE (cf*n1, cf*n1) chunk table (the
+    diagonal pattern repeats).  Block-diag matmul cost scales with the
+    square of its dimension, so 128-wide chunks cut the wasted FLOPs vs a
+    single (W*n1)^2 operand by ~W*n1/128 while staying MXU-shaped.
+    Ragged tails use a static top-left slice of the table."""
+    brs, bis = [], []
+    for c in range(0, w_cnt, cf):
+        rows = min(cf, w_cnt - c) * n1
+        r0 = c * n1
+        f1r_c = f1r[:rows, :rows]
+        f1i_c = f1i[:rows, :rows]
+        arc, aic = ar[r0:r0 + rows, :], ai[r0:r0 + rows, :]
+        brs.append(dot(f1r_c, arc) - dot(f1i_c, aic))
+        bis.append(dot(f1r_c, aic) + dot(f1i_c, arc))
+    if len(brs) == 1:
+        return brs[0], bis[0]
+    return jnp.concatenate(brs, axis=0), jnp.concatenate(bis, axis=0)
+
+
 def _kernel_sublane(re_ref, im_ref, f1bdr_ref, f1bdi_ref, f2tr_ref, f2ti_ref,
                     twr_ref, twi_ref, winr_ref, out_ref, *, cfg: SpecConfig,
-                    weights, t_tile: int, use_blockdiag: bool):
+                    weights, t_tile: int, cf: int):
     n = cfg.fft_size
     n2 = _SUBLANE_N2
     n1 = n // n2
@@ -341,19 +365,8 @@ def _kernel_sublane(re_ref, im_ref, f1bdr_ref, f1bdi_ref, f2tr_ref, f2ti_ref,
     ar = jnp.concatenate(ab_re, axis=1)       # (W*n1, t_tile*128)
     ai = jnp.concatenate(ab_im, axis=1)
 
-    f1r, f1i = f1bdr_ref[...], f1bdi_ref[...]
-    if use_blockdiag:                         # (W*n1, W*n1) block-diag F1
-        br = dot(f1r, ar) - dot(f1i, ai)
-        bi = dot(f1r, ai) + dot(f1i, ar)
-    else:                                     # per-frame dots, shared F1
-        brs, bis = [], []
-        for wi in range(w_cnt):
-            arw = ar[wi * n1:(wi + 1) * n1, :]
-            aiw = ai[wi * n1:(wi + 1) * n1, :]
-            brs.append(dot(f1r, arw) - dot(f1i, aiw))
-            bis.append(dot(f1r, aiw) + dot(f1i, arw))
-        br = jnp.concatenate(brs, axis=0)
-        bi = jnp.concatenate(bis, axis=0)
+    br, bi = _bd_dot_left(dot, f1bdr_ref[...], f1bdi_ref[...], ar, ai,
+                          n1, w_cnt, cf)
 
     twr, twi = twr_ref[...], twi_ref[...]     # (W*n1, t_tile*128)
     cr = br * twr - bi * twi
@@ -407,21 +420,20 @@ def _build_sublane(cfg: SpecConfig, interpret: bool, t_tile: int = 1):
     twi = jnp.asarray(np.tile(twi1, (w_cnt, t_tile)), jnp.float32)
 
     wn1 = w_cnt * n1
-    use_blockdiag = wn1 <= _BLOCKDIAG_MAX_DIM
-    if use_blockdiag:
-        f1bdr = np.zeros((wn1, wn1), np.float32)
-        f1bdi = np.zeros((wn1, wn1), np.float32)
-        for w in range(w_cnt):
-            f1bdr[w * n1:(w + 1) * n1, w * n1:(w + 1) * n1] = f1r
-            f1bdi[w * n1:(w + 1) * n1, w * n1:(w + 1) * n1] = f1i
-        f1a, f1b = jnp.asarray(f1bdr), jnp.asarray(f1bdi)
-        f1shape = (wn1, wn1)
-    else:
-        f1a, f1b = jnp.asarray(f1r), jnp.asarray(f1i)
-        f1shape = (n1, n1)
+    # Chunked stage-1 block-diag: ONE (cf*n1, cf*n1) chunk table reused
+    # across chunks (the diagonal pattern repeats every cf frames).
+    cf = max(1, min(w_cnt, _BD_CHUNK // n1))
+    bd = cf * n1
+    f1bdr = np.zeros((bd, bd), np.float32)
+    f1bdi = np.zeros((bd, bd), np.float32)
+    for w in range(cf):
+        f1bdr[w * n1:(w + 1) * n1, w * n1:(w + 1) * n1] = f1r
+        f1bdi[w * n1:(w + 1) * n1, w * n1:(w + 1) * n1] = f1i
+    f1a, f1b = jnp.asarray(f1bdr), jnp.asarray(f1bdi)
+    f1shape = (bd, bd)
 
     kernel = functools.partial(_kernel_sublane, cfg=cfg, weights=weights,
-                               t_tile=t_tile, use_blockdiag=use_blockdiag)
+                               t_tile=t_tile, cf=cf)
 
     def whole(shape):
         return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
@@ -471,7 +483,8 @@ def _vmem_estimate_sublane(cfg: SpecConfig, t_tile: int) -> int:
     inter = 11 * wn1 * (t_tile * n2) * 4
     if cfg.tpu_precision.upper() == "HIGH":
         inter += inter // 2
-    tables = 2 * (wn1 * wn1 if wn1 <= _BLOCKDIAG_MAX_DIM else n1 * n1) * 4
+    bd = max(1, min(w_cnt, _BD_CHUNK // n1)) * n1
+    tables = 2 * bd * bd * 4
     tables += 2 * n2 * n2 * 4 + 2 * wn1 * t_tile * n2 * 4 + wn1 * n2 * 4
     return inputs + inter + tables
 
@@ -525,7 +538,7 @@ def supports_fused_framed(cfg: SpecConfig) -> bool:
 
 def _kernel_framed(a_re_ref, a_im_ref, f1bdr_ref, f1bdi_ref, f2tr_ref,
                    f2ti_ref, twr_ref, twi_ref, winr_ref, w_ref, out_ref, *,
-                   cfg: SpecConfig, gw: int, n1: int, use_blockdiag: bool):
+                   cfg: SpecConfig, gw: int, n1: int, cf: int):
     n2 = _SUBLANE_N2
     n = cfg.fft_size
     adj_scale = jnp.float32(win_adj(cfg.window, n) * 2.0 / n)
@@ -536,19 +549,8 @@ def _kernel_framed(a_re_ref, a_im_ref, f1bdr_ref, f1bdi_ref, f2tr_ref,
     ar = a_re_ref[0] * winr_ref[...]          # (gw*n1, 128) framed+windowed
     ai = a_im_ref[0] * winr_ref[...]
 
-    f1r, f1i = f1bdr_ref[...], f1bdi_ref[...]
-    if use_blockdiag:
-        br = dot(f1r, ar) - dot(f1i, ai)
-        bi = dot(f1r, ai) + dot(f1i, ar)
-    else:
-        brs, bis = [], []
-        for j in range(gw):
-            arw = ar[j * n1:(j + 1) * n1, :]
-            aiw = ai[j * n1:(j + 1) * n1, :]
-            brs.append(dot(f1r, arw) - dot(f1i, aiw))
-            bis.append(dot(f1r, aiw) + dot(f1i, arw))
-        br = jnp.concatenate(brs, axis=0)
-        bi = jnp.concatenate(bis, axis=0)
+    br, bi = _bd_dot_left(dot, f1bdr_ref[...], f1bdi_ref[...], ar, ai,
+                          n1, gw, cf)
 
     twr, twi = twr_ref[...], twi_ref[...]     # (gw*n1, 128)
     cr = br * twr - bi * twi
@@ -620,22 +622,17 @@ def _build_framed(cfg: SpecConfig, interpret: bool):
     twr = jnp.asarray(np.tile(twr1, (gw, 1)), jnp.float32)
     twi = jnp.asarray(np.tile(twi1, (gw, 1)), jnp.float32)
 
-    use_blockdiag = gw > 1
-    if use_blockdiag:
-        bd = gw * n1
-        f1bdr = np.zeros((bd, bd), np.float32)
-        f1bdi = np.zeros((bd, bd), np.float32)
-        for j in range(gw):
-            f1bdr[j * n1:(j + 1) * n1, j * n1:(j + 1) * n1] = f1r
-            f1bdi[j * n1:(j + 1) * n1, j * n1:(j + 1) * n1] = f1i
-        f1a, f1b = jnp.asarray(f1bdr), jnp.asarray(f1bdi)
-        f1shape = (bd, bd)
-    else:
-        f1a, f1b = jnp.asarray(f1r), jnp.asarray(f1i)
-        f1shape = (n1, n1)
+    cf = max(1, min(gw, _BD_CHUNK // n1))
+    bd = cf * n1
+    f1bdr = np.zeros((bd, bd), np.float32)
+    f1bdi = np.zeros((bd, bd), np.float32)
+    for j in range(cf):
+        f1bdr[j * n1:(j + 1) * n1, j * n1:(j + 1) * n1] = f1r
+        f1bdi[j * n1:(j + 1) * n1, j * n1:(j + 1) * n1] = f1i
+    f1a, f1b = jnp.asarray(f1bdr), jnp.asarray(f1bdi)
+    f1shape = (bd, bd)
 
-    kernel = functools.partial(_kernel_framed, cfg=cfg, gw=gw, n1=n1,
-                               use_blockdiag=use_blockdiag)
+    kernel = functools.partial(_kernel_framed, cfg=cfg, gw=gw, n1=n1, cf=cf)
 
     def whole(shape):
         return pl.BlockSpec(shape, lambda i, g: tuple(0 for _ in shape))

@@ -173,20 +173,21 @@ def curscan_direct_batched(iq_re: jax.Array, iq_im: jax.Array,
 
 def _fused_choice(cfg: SpecConfig) -> Optional[str]:
     """Pick the fused-kernel layout for this (fft_size, precision) cell
-    from the hardware-measured table (scripts/perf_followup.py, v5e):
+    from the hardware-measured table (scripts/perf_followup.py, v5e,
+    after the chunked block-diag optimization):
 
       Gsamp/s         HIGHEST   HIGH   DEFAULT
       256   sublane     3.06            4.92     (direct DFT: 2.33)
-      512   sublane     3.22
+      512   sublane     3.33
       1024  sublane     4.07     5.40   6.55
-      2048  sublane     3.54     5.06   7.42     (lane: 2.29/2.62/3.04)
-      4096  lane        3.19     4.35   (6.43 sublane)
+      2048  sublane     4.00     5.59   8.27     (lane: 2.29/2.62/3.04)
+      4096  sublane     4.47     3.90   8.17     (lane: 3.19/4.35/6.02)
       8192  sublane     4.31            7.00     (lane: 3.09/-/5.55)
-      16384 lane        4.69     (6.16 sublane)  8.52
+      16384 lane        4.69     (6.16 sublane)  8.52 (sublane 8.28)
 
-    Sublane wins wherever its stage-1 block-diag stays small (n1 <= 32)
-    or the lane layout's lane-padding bites; the lane layout's bigger DFT
-    factors win at 4096/16384 HIGHEST where the 6-pass matmuls dominate.
+    Sublane wins almost everywhere now that its stage-1 block-diag is
+    chunked to MXU tiles; the lane layout's 128-wide DFT factors keep a
+    slight edge only at 16384 HIGHEST/DEFAULT.
     """
     from kspecanal_tpu.ops import pallas_curscan as pk
     fft = cfg.fft_size
@@ -196,8 +197,6 @@ def _fused_choice(cfg: SpecConfig) -> Optional[str]:
     if not (sub_ok or lane_ok):
         return None
     if sub_ok and lane_ok:
-        if fft == 4096:
-            return "sublane" if prec == "DEFAULT" else "lane"
         if fft >= 16384:
             return "sublane" if prec == "HIGH" else "lane"
         return "sublane"

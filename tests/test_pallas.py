@@ -186,7 +186,7 @@ def test_fused_choice_table():
     assert _fused_choice(cfg(256)) == "sublane"
     assert _fused_choice(cfg(2048)) == "sublane"
     assert _fused_choice(cfg(8192)) == "sublane"
-    assert _fused_choice(cfg(4096, "HIGHEST")) == "lane"
+    assert _fused_choice(cfg(4096, "HIGHEST")) == "sublane"
     assert _fused_choice(cfg(4096, "DEFAULT")) == "sublane"
     assert _fused_choice(cfg(16384, "HIGHEST")) == "lane"
     assert _fused_choice(cfg(16384, "HIGH")) == "sublane"
