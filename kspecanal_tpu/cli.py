@@ -43,6 +43,7 @@ class RunOptions:
     prefetch: bool = False   # background read-ahead pipeline (io/prefetch)
     profile_dir: str = ""    # jax.profiler trace output directory
     renderer: str = "gui"    # gui | term | none
+    state_file: str = ""     # checkpoint/resume .npz (io/state)
 
 
 class CliError(ValueError):
@@ -102,6 +103,9 @@ _RUNOPT_KEYMAP = {
     "TPUPREFETCH": ("prefetch", _boolean),
     "TPUPROFILE": ("profile_dir", str),
     "TPURENDERER": ("renderer", lambda v: v.lower()),
+    # Checkpoint/resume: snapshot curves + waterfall on exit, resume on
+    # start when the file matches the config (io/state.py).
+    "TPUSTATEFILE": ("state_file", str),
 }
 
 
@@ -209,7 +213,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         from kspecanal_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(time=run.mesh_time, band=run.mesh_band)
 
-    sess = sess_mod.Session(cfg, source, renderer, mesh=mesh)
+    sess = sess_mod.Session(cfg, source, renderer, mesh=mesh,
+                            state_file=run.state_file)
 
     def _sigint(signum, stack):  # kspecanal.py:1118-1123
         log_info("sigint: quiting on user request...")

@@ -36,7 +36,8 @@ class Session:
     stop flag, timing trace."""
 
     def __init__(self, cfg: SpecConfig, source: Optional[IQSource] = None,
-                 renderer: Optional[Callable] = None, mesh=None):
+                 renderer: Optional[Callable] = None, mesh=None,
+                 state_file: str = ""):
         self.cfg = cfg
         self.source = source
         self.renderer = renderer
@@ -46,8 +47,27 @@ class Session:
         self.final_avg: Optional[np.ndarray] = None
         self.iter_times: list = []
         self.timer = StageTimer()    # per-stage wall/throughput accounting
+        self.state_file = state_file  # checkpoint/resume (io/state)
         if cfg.adj_sig_lvls:
             self._load_baseline()
+
+    # -- checkpoint / resume (io/state.py) --------------------------------
+    def _resume_state(self, cfg: SpecConfig):
+        """Restored mode state from the checkpoint file, or None."""
+        import os
+        if not self.state_file or not os.path.exists(self.state_file):
+            return None
+        from kspecanal_tpu.io.state import load_state
+        st = load_state(self.state_file, cfg)
+        if st is not None:
+            log_info(f"resume: restored state from {self.state_file}")
+        return st
+
+    def _checkpoint_state(self, state, cfg: SpecConfig):
+        if self.state_file and state is not None:
+            from kspecanal_tpu.io.state import save_state
+            save_state(self.state_file, state, cfg)
+            log_info(f"checkpoint: saved state to {self.state_file}")
 
     # -- baseline handling (kspecanal.py:736-768, :400-411) --------------
     def _load_baseline(self):
@@ -89,7 +109,7 @@ def run_zero_span(sess: Session, max_iters: Optional[int] = None
     cfg = sess.cfg
     assert sess.source is not None
     sess.source.retune(cfg.center_freq, cfg.sampling_rate, cfg.gain)
-    state = zs.init_state(cfg)
+    state = sess._resume_state(cfg) or zs.init_state(cfg)
     adj = None if sess.adj is None else jnp.asarray(sess.adj)
     n = cfg.prg_loop_cnt if max_iters is None else max_iters
     prev = time.time()
@@ -134,6 +154,7 @@ def run_zero_span(sess: Session, max_iters: Optional[int] = None
             if new_cfg != cfg:
                 cfg = sess.cfg = new_cfg
     sess.final_avg = np.asarray(state.fft_avg, np.float64)
+    sess._checkpoint_state(state, cfg)
     return state
 
 
@@ -247,7 +268,7 @@ def run_scan(sess: Session, max_sweeps: Optional[int] = None
     cfg = sess.cfg
     assert sess.source is not None
     plan = make_plan_cached(cfg)
-    state = scan_mod.init_state(cfg, plan)
+    state = sess._resume_state(cfg) or scan_mod.init_state(cfg, plan)
     adj = None if sess.adj is None else jnp.asarray(sess.adj)
     n = cfg.prg_loop_cnt if max_sweeps is None else max_sweeps
     prev = time.time()
@@ -270,6 +291,7 @@ def run_scan(sess: Session, max_sweeps: Optional[int] = None
             view = scan_mod.scan_view(state, cfg, plan, adj)
             sess._emit(view, i)
     sess.final_avg = np.asarray(state.fft_avg, np.float64)
+    sess._checkpoint_state(state, cfg)
     return state
 
 

@@ -349,3 +349,27 @@ def test_scan_baseline_roundtrip(tmp_path, rng):
     cfg3 = scan_cfg(adj_sig_lvls=save, end_freq=98e6)
     sess3 = sess_mod.Session(cfg3, None)
     assert sess3.adj is None
+
+
+def test_session_checkpoint_resume(tmp_path):
+    """tpuStateFile round trip: a second session resumes the accumulated
+    curves exactly; a mismatched config ignores the checkpoint."""
+    import dataclasses
+    path = str(tmp_path / "state.npz")
+    cfg = SpecConfig(prg_mode="ZEROSPAN", center_freq=92e6, fft_size=512,
+                     sampling_rate=2.4e6, cur_scan_non_overlap=0.5,
+                     x_res=256, prg_loop_cnt=2).finalize()
+    src = SynthIQSource(center_freq=cfg.center_freq,
+                        sample_rate=cfg.sampling_rate, seed=5)
+    sess = sess_mod.Session(cfg, src, state_file=path)
+    st1 = sess_mod.run_zero_span(sess)
+    sess2 = sess_mod.Session(cfg, src, state_file=path)
+    st2 = sess2._resume_state(cfg)
+    assert st2 is not None
+    np.testing.assert_array_equal(np.asarray(st1.fft_max),
+                                  np.asarray(st2.fft_max))
+    np.testing.assert_array_equal(np.asarray(st1.heatmap),
+                                  np.asarray(st2.heatmap))
+    # mismatched fingerprint -> None (start fresh), like the baseline loader
+    other = dataclasses.replace(cfg, fft_size=256).finalize()
+    assert sess2._resume_state(other) is None
