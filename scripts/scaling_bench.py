@@ -9,12 +9,20 @@ correctness/plumbing check); on a pod slice it measures real ICI scaling.
 Usage: [XLA_FLAGS=--xla_force_host_platform_device_count=8] \
        python scripts/scaling_bench.py [fft_size] [blocks_per_device]
 """
+import os
 import sys
 import time
 
 sys.path.insert(0, ".")
 
 import jax
+
+# When a virtual CPU mesh is requested, env JAX_PLATFORMS alone is NOT
+# honored (the axon TPU plugin overrides it and can hang backend init);
+# the in-process config update is the only reliable pin.
+if "xla_force_host_platform_device_count" in os.environ.get("XLA_FLAGS", ""):
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -51,6 +59,13 @@ def main(fft_size=2048, blocks_per_dev=64):
         eff = rate / (base_rate * s)
         print(f"shards={s:3d}  {rate/1e9:7.2f} Gsamp/s  "
               f"scaling-efficiency={eff*100:5.1f}%", flush=True)
+    if jax.default_backend() == "cpu":
+        print("NOTE: virtual CPU devices share the SAME physical cores, so "
+              "linear scaling is impossible here by construction; the "
+              "meaningful signal is that TOTAL throughput stays flat as "
+              "shards are added (collective/halo overhead ~0). Real "
+              "scaling-efficiency needs a multi-chip slice over ICI.",
+              flush=True)
 
 
 if __name__ == "__main__":
