@@ -48,10 +48,8 @@ def supports_fused(cfg: SpecConfig) -> bool:
     return all(s % n2 == 0 for s in cfg.window_starts)
 
 
-# Stage-2 runs as ONE block-diagonal matmul when the (W*n2)^2 operand fits
-# comfortably in VMEM; above this, per-window dots (already MXU-bound at
-# large n1/n2, e.g. 128x128 for fft 16384).  960x960 (fft 4096) crashes the
-# Mosaic compiler on this backend, hence the conservative cap.
+# Window-group size cap for the framed kernel's grid axis (how many
+# frames one grid step holds in VMEM).
 _BLOCKDIAG_MAX_DIM = 512
 
 # Block-diagonal matmuls waste FLOPs proportionally to their dimension
