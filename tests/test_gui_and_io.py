@@ -229,3 +229,16 @@ def test_terminal_renderer(rng):
     assert "iter 2" in out
     assert "max |" in out and "wf  |" in out
     assert "peaks:" in out
+
+
+def test_terminal_renderer_inf_nan_safe():
+    """Regression: -inf (LogNoGain of a zero bin) and flat curves poisoned
+    the glyph-index cast (NaN -> huge int -> IndexError)."""
+    from kspecanal_tpu.render_term import shade_row, sparkline
+    v = np.array([-np.inf, -80.0, 0.0, np.nan, 5.0])
+    assert len(sparkline(v, 5, -np.inf, np.inf)) == 5
+    assert len(shade_row(v, 5, 0.0, 0.0)) == 5      # lo == hi
+    flat = np.zeros(16)
+    assert len(sparkline(flat, 8, 0.0, 0.0)) == 8
+    all_bad = np.full(4, -np.inf)
+    assert len(sparkline(all_bad, 4, -np.inf, -np.inf)) == 4
