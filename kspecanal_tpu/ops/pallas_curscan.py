@@ -679,3 +679,121 @@ def curscan_fused_framed(iq_re: jax.Array, iq_im: jax.Array,
         raise ValueError("fft_size not a multiple of 128 (or < 256)")
     interpret = jax.default_backend() != "tpu"
     return _build_framed(cfg, interpret)(iq_re, iq_im)
+
+
+# ---------------------------------------------------------------------------
+# Tiny-FFT fused kernel (fft_size <= 128): the quickFullScan regime
+# (fftSize 64, kspecanal.py:916-921).  The DFT is a single (n, n) matmul —
+# no decomposition, no twiddle — so the whole chain per grid step is:
+# window multiply -> 4 dots against DFT^T -> magnitude -> weighted reduce.
+# Frames are gathered XLA-side (hops are sub-lane-sized, any alignment);
+# many blocks batch per grid step (they are tiny).
+# ---------------------------------------------------------------------------
+
+
+def supports_fused_small(cfg: SpecConfig) -> bool:
+    return cfg.fft_size <= _SUBLANE_N2
+
+
+def _kernel_small(a_re_ref, a_im_ref, fr_ref, fi_ref, winr_ref, out_ref, *,
+                  cfg: SpecConfig, weights, t_tile: int):
+    n = cfg.fft_size
+    w_cnt = cfg.num_windows
+    adj_scale = win_adj(cfg.window, n) * 2.0 / n
+    dot = _make_dot(cfg.tpu_precision)
+    mode = cfg.cur_scan_cumu_mode
+
+    ar = a_re_ref[0] * winr_ref[...]          # (t_tile*W, n) framed+windowed
+    ai = a_im_ref[0] * winr_ref[...]
+    frt, fit = fr_ref[...], fi_ref[...]       # DFT^T (n, n)
+    dr = dot(ar, frt) - dot(ai, fit)
+    di = dot(ai, frt) + dot(ar, fit)
+    mag = jnp.sqrt(dr * dr + di * di)         # (t_tile*W, n)
+
+    for b in range(t_tile):
+        if mode == CUMU_MIN:
+            acc = jnp.full((1, n), jnp.inf, jnp.float32)
+        else:
+            acc = jnp.zeros((1, n), jnp.float32)
+        for wi in range(w_cnt):
+            m = mag[b * w_cnt + wi: b * w_cnt + wi + 1, :]
+            if mode in (CUMU_AVG, CUMU_RAW):
+                acc = acc + jnp.float32(weights[wi] * adj_scale) * m
+            elif mode == CUMU_MAX:
+                acc = jnp.maximum(acc, jnp.float32(adj_scale) * m)
+            else:
+                acc = jnp.minimum(acc, jnp.float32(adj_scale) * m)
+        out_ref[b, :, :] = acc
+
+
+@functools.lru_cache(maxsize=32)
+def _build_small(cfg: SpecConfig, interpret: bool, t_tile: int):
+    n = cfg.fft_size
+    w_cnt = cfg.num_windows
+    k = np.arange(n)
+    dft = np.exp(-2j * np.pi * np.outer(k, k) / n)
+    frt = jnp.asarray(dft.real.T, jnp.float32)
+    fit = jnp.asarray(dft.imag.T, jnp.float32)
+    wts = cumu_weights(cfg.cur_scan_cumu_mode, w_cnt)
+    weights = (None if wts is None else tuple(float(x) for x in wts))
+    win_t = jnp.asarray(np.tile(window_lut(cfg.window, n), (t_tile * w_cnt, 1)),
+                        jnp.float32)
+    gather = np.asarray(cfg.window_starts, np.int32)[:, None] + \
+        np.arange(n, dtype=np.int32)[None, :]
+    gather_j = jnp.asarray(gather)            # (W, n)
+
+    kernel = functools.partial(_kernel_small, cfg=cfg, weights=weights,
+                               t_tile=t_tile)
+
+    def whole(shape):
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
+
+    def call(iq_re, iq_im):
+        t = iq_re.shape[0]
+        assert t % t_tile == 0, (t, t_tile)
+        # XLA-side framing gather -> (t, W, n), viewed (t/tt, tt*W, n)
+        a_re = jnp.take(iq_re, gather_j, axis=1).reshape(
+            t // t_tile, t_tile * w_cnt, n)
+        a_im = jnp.take(iq_im, gather_j, axis=1).reshape(
+            t // t_tile, t_tile * w_cnt, n)
+        acc = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((t, 1, n), jnp.float32),
+            grid=(t // t_tile,),
+            in_specs=[
+                pl.BlockSpec((1, t_tile * w_cnt, n), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, t_tile * w_cnt, n), lambda i: (i, 0, 0)),
+                whole((n, n)), whole((n, n)),
+                whole((t_tile * w_cnt, n)),
+            ],
+            out_specs=pl.BlockSpec((t_tile, 1, n), lambda i: (i, 0, 0)),
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=t * (8 * n * n * w_cnt + 12 * w_cnt * n),
+                bytes_accessed=t * (w_cnt * n * 8 + n * 4),
+                transcendentals=t * w_cnt * n,
+            ),
+        )(a_re, a_im, frt, fit, win_t)
+        return jnp.fft.fftshift(acc.reshape(t, n), axes=-1)
+
+    return jax.jit(call)
+
+
+def _auto_t_tile_small(cfg: SpecConfig, t: int) -> int:
+    per_block = 2 * cfg.num_windows * 128 * 4 * 4  # padded frames, 2 planes
+    for cand in (64, 32, 16, 8, 4, 2, 1):
+        if t % cand == 0 and cand * per_block <= _T_TILE_VMEM_BUDGET // 2:
+            return cand
+    return 1
+
+
+def curscan_fused_small(iq_re: jax.Array, iq_im: jax.Array,
+                        cfg: SpecConfig, t_tile: int = 0) -> jax.Array:
+    """Fused curscan for tiny fft_size (<= 128), any hop."""
+    if not supports_fused_small(cfg):
+        raise ValueError("fft_size > 128")
+    t = iq_re.shape[0]
+    if t_tile <= 0:
+        t_tile = _auto_t_tile_small(cfg, t)
+    interpret = jax.default_backend() != "tpu"
+    return _build_small(cfg, interpret, t_tile)(iq_re, iq_im)

@@ -224,10 +224,16 @@ def curscan_auto_batched(iq_re: jax.Array, iq_im: jax.Array,
         #   2048:  xla 0.40 | framed 0.36 / 0.54 / 0.86 (HIGHEST/HIGH/DEF)
         #   16384: xla 0.21 | framed 0.38 / 0.52 / 0.63
         # -> framed wins except small-fft HIGHEST.
+        # Tiny ffts are gather/epilogue-bound, not DFT-bound: the fused
+        # small kernel only edges out the direct matmul at DEFAULT
+        # (measured 1.23 vs 1.18 @64, 2.22 vs 2.14 @128 Gsamp/s; it LOSES
+        # at HIGHEST where its in-kernel 6-pass dots serialize).
+        if pallas_curscan.supports_fused_small(cfg):
+            if cfg.tpu_precision.upper() == "DEFAULT":
+                return pallas_curscan.curscan_fused_small(iq_re, iq_im, cfg)
+            return curscan_direct_batched(iq_re, iq_im, cfg)
         if pallas_curscan.supports_fused_framed(cfg) and not (
                 cfg.tpu_precision.upper() == "HIGHEST"
                 and cfg.fft_size < 4096):
             return pallas_curscan.curscan_fused_framed(iq_re, iq_im, cfg)
-        if cfg.fft_size <= 128:
-            return curscan_direct_batched(iq_re, iq_im, cfg)
     return curscan_batched(iq_re, iq_im, cfg)

@@ -194,3 +194,25 @@ def test_fused_choice_table():
     assert _fused_choice(cfg(2048, nono=0.1)) is None
     # 64 is not 128-divisible -> no sublane; lane needs >= 2048
     assert _fused_choice(cfg(64)) is None
+
+
+def test_small_fused_matches_chain():
+    """Tiny-FFT fused kernel (quickFullScan regime) vs the XLA chain,
+    every cumulate mode, aligned and fractional hops."""
+    from kspecanal_tpu.config import SpecConfig, WINDOW_HANNING
+    from kspecanal_tpu.ops.pallas_curscan import (curscan_fused_small,
+                                                  supports_fused_small)
+    rng = np.random.default_rng(13)
+    for fft, nono, mode in [(64, 0.5, "AVG"), (128, 0.5, "MAX"),
+                            (64, 0.1, "MIN"), (64, 0.5, "RAW")]:
+        cfg = SpecConfig(prg_mode="ZEROSPAN", fft_size=fft,
+                         sampling_rate=2.4e6, window=WINDOW_HANNING,
+                         cur_scan_non_overlap=nono,
+                         cur_scan_cumu_mode=mode).finalize()
+        assert supports_fused_small(cfg)
+        re = jnp.asarray(rng.standard_normal((4, cfg.full_size)), jnp.float32)
+        im = jnp.asarray(rng.standard_normal((4, cfg.full_size)), jnp.float32)
+        ref = curscan_batched(re, im, cfg)
+        got = curscan_fused_small(re, im, cfg, t_tile=2)
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=1e-9)
+    assert not supports_fused_small(SpecConfig(fft_size=256))
