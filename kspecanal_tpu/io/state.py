@@ -27,8 +27,14 @@ _STATE_TYPES = {"zerospan": ZeroSpanState, "scan": ScanState}
 
 
 def _fingerprint(cfg: SpecConfig) -> np.ndarray:
+    # x_res and the heatmap compress mode determine the heatmap ring
+    # width, so they must match too or the restored state's buffers would
+    # shape-clash inside the jitted step.
+    import zlib  # crc32: stable across processes (hash() is salted)
     return np.asarray([cfg.fft_size, cfg.start_freq or 0.0,
-                       cfg.end_freq or 0.0, cfg.sampling_rate, cfg.gain],
+                       cfg.end_freq or 0.0, cfg.sampling_rate, cfg.gain,
+                       cfg.x_res,
+                       float(zlib.crc32(cfg.plt_compress_hm.encode()))],
                       np.float64)
 
 
@@ -40,15 +46,26 @@ def save_state(path: str, state: Union[ZeroSpanState, ScanState],
              **arrays)
 
 
-def load_state(path: str, cfg: SpecConfig):
+def load_state(path: str, cfg: SpecConfig, kind: str = ""):
     """Returns the restored state, or None if the checkpoint does not match
     the current config (mirroring the baseline loader's disable-on-mismatch
-    behavior, kspecanal.py:759-763)."""
+    behavior, kspecanal.py:759-763).
+
+    ``kind`` ('zerospan' | 'scan'), when given, additionally rejects a
+    checkpoint written by the other mode — a zero-span session must not
+    resume a ScanState even when the frequency fingerprint coincides.
+    """
     with np.load(path, allow_pickle=False) as z:
-        kind = str(z["__kind__"])
-        if not np.array_equal(z["__fingerprint__"], _fingerprint(cfg)):
+        saved_kind = str(z["__kind__"])
+        fp = z["__fingerprint__"]
+        if (fp.shape != _fingerprint(cfg).shape
+                or not np.array_equal(fp, _fingerprint(cfg))):
             log_warn(f"load_state: {path} was written for a different "
                      f"config; ignoring")
             return None
-        cls = _STATE_TYPES[kind]
+        if kind and saved_kind != kind:
+            log_warn(f"load_state: {path} holds a {saved_kind} state, "
+                     f"current mode needs {kind}; ignoring")
+            return None
+        cls = _STATE_TYPES[saved_kind]
         return cls(**{f: jnp.asarray(z[f]) for f in cls._fields})

@@ -143,7 +143,8 @@ def fft_mxu(re: jax.Array, im: jax.Array,
     return (dr.reshape(batch + (n,)), di.reshape(batch + (n,)))
 
 
-def fft_mag_mxu(re: jax.Array, im: jax.Array) -> jax.Array:
+def fft_mag_mxu(re: jax.Array, im: jax.Array,
+                precision: jax.lax.Precision = _HIGHEST) -> jax.Array:
     """|FFT| via the MXU path."""
-    xr, xi = fft_mxu(re, im)
+    xr, xi = fft_mxu(re, im, precision=precision)
     return jnp.sqrt(xr * xr + xi * xi)

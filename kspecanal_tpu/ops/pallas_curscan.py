@@ -87,6 +87,29 @@ def _make_dot(precision_name: str):
     return dot3
 
 
+def _cumulate_frames(mode: str, adj_scale, parts):
+    """Shared per-window cumulate for every kernel layout.
+
+    ``parts`` yields (weight, mag_tile) per window in order; reproduces
+    ``data_cumu`` semantics (kspecanal.py:124-147) with the winAdj*2/N
+    scale folded in: AVG/RAW = weighted sum (closed-form decay weights),
+    MAX/MIN = running extrema (weight ignored).
+    """
+    acc = None
+    for w, m in parts:
+        if mode in (CUMU_AVG, CUMU_RAW):
+            t = (jnp.float32(w * adj_scale) if isinstance(w, float)
+                 else w * jnp.float32(adj_scale)) * m
+            acc = t if acc is None else acc + t
+        elif mode == CUMU_MAX:
+            t = jnp.float32(adj_scale) * m
+            acc = t if acc is None else jnp.maximum(acc, t)
+        else:
+            t = jnp.float32(adj_scale) * m
+            acc = t if acc is None else jnp.minimum(acc, t)
+    return acc
+
+
 def _kernel(re_ref, im_ref, f1r_ref, f1i_ref, f2bdr_ref, f2bdi_ref,
             twr_ref, twi_ref, winr_ref, out_re_ref, *, cfg: SpecConfig,
             weights, t_tile: int):
@@ -121,19 +144,9 @@ def _kernel(re_ref, im_ref, f1r_ref, f1i_ref, f2bdr_ref, f2bdi_ref,
 
     def reduce_mags(mag_b):
         """(n1, W*n2) per-window magnitudes -> (n1, n2) cumulated."""
-        if mode == CUMU_MIN:
-            acc = jnp.full((n1, n2), jnp.inf, jnp.float32)
-        else:
-            acc = jnp.zeros((n1, n2), jnp.float32)
-        for wi in range(w_cnt):
-            m = mag_b[:, wi * n2:(wi + 1) * n2]
-            if mode in (CUMU_AVG, CUMU_RAW):
-                acc = acc + jnp.float32(weights[wi] * adj_scale) * m
-            elif mode == CUMU_MAX:
-                acc = jnp.maximum(acc, jnp.float32(adj_scale) * m)
-            else:
-                acc = jnp.minimum(acc, jnp.float32(adj_scale) * m)
-        return acc
+        return _cumulate_frames(mode, adj_scale, (
+            (weights[wi] if weights else 0.0,
+             mag_b[:, wi * n2:(wi + 1) * n2]) for wi in range(w_cnt)))
 
     # Stage 2 (contract n2) in chunked block-diag form: cf2 windows per
     # (cf2*n2)^2 chunk table (see _BD_CHUNK).
@@ -383,19 +396,10 @@ def _kernel_sublane(re_ref, im_ref, f1bdr_ref, f1bdi_ref, f2tr_ref, f2ti_ref,
 
     mode = cfg.cur_scan_cumu_mode
     for b in range(t_tile):
-        if mode == CUMU_MIN:
-            acc = jnp.full((n1, n2), jnp.inf, jnp.float32)
-        else:
-            acc = jnp.zeros((n1, n2), jnp.float32)
-        for wi in range(w_cnt):
-            m = mag[b * wn1 + wi * n1: b * wn1 + (wi + 1) * n1, :]
-            if mode in (CUMU_AVG, CUMU_RAW):
-                acc = acc + jnp.float32(weights[wi] * adj_scale) * m
-            elif mode == CUMU_MAX:
-                acc = jnp.maximum(acc, jnp.float32(adj_scale) * m)
-            else:
-                acc = jnp.minimum(acc, jnp.float32(adj_scale) * m)
-        out_ref[b, :, :] = acc
+        out_ref[b, :, :] = _cumulate_frames(mode, adj_scale, (
+            (weights[wi] if weights else 0.0,
+             mag[b * wn1 + wi * n1: b * wn1 + (wi + 1) * n1, :])
+            for wi in range(w_cnt)))
 
 
 @functools.lru_cache(maxsize=32)
@@ -559,18 +563,8 @@ def _kernel_framed(a_re_ref, a_im_ref, f1bdr_ref, f1bdi_ref, f2tr_ref,
     di = dot(ci, f2tr) + dot(cr, f2ti)
     mag = jnp.sqrt(dr * dr + di * di)
 
-    if mode == CUMU_MIN:
-        acc = jnp.full((n1, n2), jnp.inf, jnp.float32)
-    else:
-        acc = jnp.zeros((n1, n2), jnp.float32)
-    for j in range(gw):
-        m = mag[j * n1:(j + 1) * n1, :]
-        if mode in (CUMU_AVG, CUMU_RAW):
-            acc = acc + w_ref[wg, j] * adj_scale * m
-        elif mode == CUMU_MAX:
-            acc = jnp.maximum(acc, adj_scale * m)
-        else:
-            acc = jnp.minimum(acc, adj_scale * m)
+    acc = _cumulate_frames(mode, adj_scale, (
+        (w_ref[wg, j], mag[j * n1:(j + 1) * n1, :]) for j in range(gw)))
 
     @pl.when(wg == 0)
     def _init():
@@ -711,19 +705,10 @@ def _kernel_small(a_re_ref, a_im_ref, fr_ref, fi_ref, winr_ref, out_ref, *,
     mag = jnp.sqrt(dr * dr + di * di)         # (t_tile*W, n)
 
     for b in range(t_tile):
-        if mode == CUMU_MIN:
-            acc = jnp.full((1, n), jnp.inf, jnp.float32)
-        else:
-            acc = jnp.zeros((1, n), jnp.float32)
-        for wi in range(w_cnt):
-            m = mag[b * w_cnt + wi: b * w_cnt + wi + 1, :]
-            if mode in (CUMU_AVG, CUMU_RAW):
-                acc = acc + jnp.float32(weights[wi] * adj_scale) * m
-            elif mode == CUMU_MAX:
-                acc = jnp.maximum(acc, jnp.float32(adj_scale) * m)
-            else:
-                acc = jnp.minimum(acc, jnp.float32(adj_scale) * m)
-        out_ref[b, :, :] = acc
+        out_ref[b, :, :] = _cumulate_frames(mode, adj_scale, (
+            (weights[wi] if weights else 0.0,
+             mag[b * w_cnt + wi: b * w_cnt + wi + 1, :])
+            for wi in range(w_cnt)))
 
 
 @functools.lru_cache(maxsize=32)

@@ -181,7 +181,11 @@ def _fused_choice(cfg: SpecConfig) -> Optional[str]:
       512   sublane     3.33
       1024  sublane     4.07     5.40   6.55
       2048  sublane     4.00     5.59   8.27     (lane: 2.29/2.62/3.04)
-      4096  sublane     4.47     3.90   8.17     (lane: 3.19/4.35/6.02)
+      4096  sublane     4.47     3.90   8.17     (lane auto-t_tile:
+                                                  3.19/3.78/6.02; a forced
+                                                  lane t_tile=4 HIGH hit
+                                                  4.35 but exceeds the
+                                                  auto VMEM budget)
       8192  sublane     4.31            7.00     (lane: 3.09/-/5.55)
       16384 lane        4.69     (6.16 sublane)  8.52 (sublane 8.28)
 
@@ -236,4 +240,9 @@ def curscan_auto_batched(iq_re: jax.Array, iq_im: jax.Array,
                 cfg.tpu_precision.upper() == "HIGHEST"
                 and cfg.fft_size < 4096):
             return pallas_curscan.curscan_fused_framed(iq_re, iq_im, cfg)
+        if cfg.fft_size <= 256:
+            # No fused kernel applies (e.g. 256 with fractional hop at
+            # HIGHEST): the direct DFT matmul still beats the XLA chain
+            # in the tiny-FFT regime (2.33 Gsamp/s measured).
+            return curscan_direct_batched(iq_re, iq_im, cfg)
     return curscan_batched(iq_re, iq_im, cfg)

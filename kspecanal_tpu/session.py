@@ -52,13 +52,15 @@ class Session:
             self._load_baseline()
 
     # -- checkpoint / resume (io/state.py) --------------------------------
-    def _resume_state(self, cfg: SpecConfig):
-        """Restored mode state from the checkpoint file, or None."""
+    def _resume_state(self, cfg: SpecConfig, kind: str):
+        """Restored mode state from the checkpoint file, or None.  ``kind``
+        guards against resuming the other mode's state when frequency
+        fingerprints coincide (zero-span 92e6/2.4e6 == scan 90.8-93.2e6)."""
         import os
         if not self.state_file or not os.path.exists(self.state_file):
             return None
         from kspecanal_tpu.io.state import load_state
-        st = load_state(self.state_file, cfg)
+        st = load_state(self.state_file, cfg, kind=kind)
         if st is not None:
             log_info(f"resume: restored state from {self.state_file}")
         return st
@@ -109,7 +111,7 @@ def run_zero_span(sess: Session, max_iters: Optional[int] = None
     cfg = sess.cfg
     assert sess.source is not None
     sess.source.retune(cfg.center_freq, cfg.sampling_rate, cfg.gain)
-    state = sess._resume_state(cfg) or zs.init_state(cfg)
+    state = sess._resume_state(cfg, "zerospan") or zs.init_state(cfg)
     adj = None if sess.adj is None else jnp.asarray(sess.adj)
     n = cfg.prg_loop_cnt if max_iters is None else max_iters
     prev = time.time()
@@ -268,7 +270,7 @@ def run_scan(sess: Session, max_sweeps: Optional[int] = None
     cfg = sess.cfg
     assert sess.source is not None
     plan = make_plan_cached(cfg)
-    state = sess._resume_state(cfg) or scan_mod.init_state(cfg, plan)
+    state = sess._resume_state(cfg, "scan") or scan_mod.init_state(cfg, plan)
     adj = None if sess.adj is None else jnp.asarray(sess.adj)
     n = cfg.prg_loop_cnt if max_sweeps is None else max_sweeps
     prev = time.time()

@@ -364,7 +364,7 @@ def test_session_checkpoint_resume(tmp_path):
     sess = sess_mod.Session(cfg, src, state_file=path)
     st1 = sess_mod.run_zero_span(sess)
     sess2 = sess_mod.Session(cfg, src, state_file=path)
-    st2 = sess2._resume_state(cfg)
+    st2 = sess2._resume_state(cfg, "zerospan")
     assert st2 is not None
     np.testing.assert_array_equal(np.asarray(st1.fft_max),
                                   np.asarray(st2.fft_max))
@@ -372,4 +372,9 @@ def test_session_checkpoint_resume(tmp_path):
                                   np.asarray(st2.heatmap))
     # mismatched fingerprint -> None (start fresh), like the baseline loader
     other = dataclasses.replace(cfg, fft_size=256).finalize()
-    assert sess2._resume_state(other) is None
+    assert sess2._resume_state(other, "zerospan") is None
+    # wrong MODE with an identical frequency fingerprint -> refused
+    assert sess2._resume_state(cfg, "scan") is None
+    # x_res is part of the fingerprint (heatmap ring width)
+    narrower = dataclasses.replace(cfg, x_res=128).finalize()
+    assert sess2._resume_state(narrower, "zerospan") is None
