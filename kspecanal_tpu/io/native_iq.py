@@ -71,3 +71,60 @@ def split_complex64(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         re.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         im.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n)
     return re, im
+
+
+def _bind_stream(lib: ctypes.CDLL) -> None:
+    if getattr(lib, "_iqs_bound", False):
+        return
+    lib.iqs_open.argtypes = [ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int]
+    lib.iqs_open.restype = ctypes.c_void_p
+    lib.iqs_read.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+                             ctypes.POINTER(ctypes.c_float)]
+    lib.iqs_read.restype = ctypes.c_int
+    lib.iqs_file_samples.argtypes = [ctypes.c_void_p]
+    lib.iqs_file_samples.restype = ctypes.c_size_t
+    lib.iqs_close.argtypes = [ctypes.c_void_p]
+    lib.iqs_close.restype = None
+    lib._iqs_bound = True
+
+
+class IqStream:
+    """Native streaming capture reader (native/iqstream.cpp): a producer
+    thread decodes fixed-size blocks into a ring ahead of the consumer.
+    Memory is O(block * depth) regardless of capture length; wraps at EOF.
+    """
+
+    def __init__(self, path: str, block_samples: int, depth: int = 4):
+        lib = _load()
+        _bind_stream(lib)
+        self._lib = lib
+        self._block = block_samples
+        self._h = lib.iqs_open(path.encode(), block_samples, depth)
+        if not self._h:
+            raise OSError(f"iqs_open failed for {path}")
+
+    @property
+    def file_samples(self) -> int:
+        return int(self._lib.iqs_file_samples(self._h))
+
+    def read_block(self) -> Tuple[np.ndarray, np.ndarray]:
+        re = np.empty(self._block, np.float32)
+        im = np.empty(self._block, np.float32)
+        ok = self._lib.iqs_read(
+            self._h,
+            re.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            im.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        if not ok:
+            raise EOFError("native IQ stream stopped")
+        return re, im
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.iqs_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -236,3 +236,52 @@ class RtlSdrSource:
 
     def close(self):
         self._sdr.close()
+
+
+class StreamingFileIQSource:
+    """Raw-capture source backed by the NATIVE streaming reader
+    (native/iqstream.cpp): a C++ producer thread reads + decodes fixed-size
+    blocks into a ring ahead of the consumer, so file IO and uint8->f32
+    decode overlap device compute and host memory stays O(block * depth)
+    however long the capture is (``FileIQSource`` decodes the whole file
+    up front).  Wraps at EOF.  Falls back to FileIQSource when the native
+    toolchain is unavailable (see cli.make_source).
+    """
+
+    def __init__(self, path: str, center_freq: float = 92e6,
+                 sample_rate: float = 2.4e6, gain: float = 19.1,
+                 depth: int = 4):
+        from kspecanal_tpu.io.native_iq import IqStream  # may raise OSError
+        self._IqStream = IqStream
+        self._path = path
+        self._depth = depth
+        self.center_freq = center_freq
+        self.sample_rate = sample_rate
+        self.gain = gain
+        self._stream = None
+        self._block = 0
+        # open eagerly with a placeholder block to validate the path
+        probe = IqStream(path, 1024, depth=1)
+        if probe.file_samples == 0:
+            probe.close()
+            raise ValueError(f"empty IQ capture: {path}")
+        probe.close()
+
+    def read(self, n: int) -> Planes:
+        if self._stream is None or self._block != n:
+            if self._stream is not None:
+                self._stream.close()
+            self._stream = self._IqStream(self._path, n, depth=self._depth)
+            self._block = n
+        return self._stream.read_block()
+
+    def retune(self, center_freq, sample_rate, gain) -> bool:
+        self.center_freq = center_freq
+        self.sample_rate = sample_rate
+        self.gain = gain
+        return True
+
+    def close(self):
+        if self._stream is not None:
+            self._stream.close()
+            self._stream = None

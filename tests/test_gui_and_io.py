@@ -242,3 +242,25 @@ def test_terminal_renderer_inf_nan_safe():
     assert len(sparkline(flat, 8, 0.0, 0.0)) == 8
     all_bad = np.full(4, -np.inf)
     assert len(sparkline(all_bad, 4, -np.inf, -np.inf)) == 4
+
+
+def test_native_streaming_source(tmp_path, rng):
+    """Native ring-buffer capture reader == FileIQSource decode+wrap."""
+    pytest.importorskip("kspecanal_tpu.io.native_iq")
+    from kspecanal_tpu.io import sources
+    raw = rng.integers(0, 256, size=2 * 3000).astype(np.uint8)
+    p = tmp_path / "cap.iq"
+    p.write_bytes(raw.tobytes())
+    try:
+        src = sources.StreamingFileIQSource(str(p))
+    except OSError:
+        pytest.skip("native build unavailable")
+    ref = sources.FileIQSource(str(p))
+    try:
+        for _ in range(5):  # crosses EOF wrap
+            re, im = src.read(1024)
+            rre, rim = ref.read(1024)
+            np.testing.assert_array_equal(re, rre)
+            np.testing.assert_array_equal(im, rim)
+    finally:
+        src.close()
