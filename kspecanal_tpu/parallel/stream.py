@@ -48,6 +48,20 @@ class StreamResult(NamedTuple):
     fft_cur: jax.Array   # last iteration's spectrum (dB)
 
 
+def decode_u8_on_device(raw: jax.Array):
+    """In-jit decode of raw rtl_sdr bytes: (..., 2*n) uint8 interleaved I/Q
+    with a value-127 offset (octave/load_rtlsdr.m:8-13) -> float32 planes.
+
+    Shipping RAW bytes to the device (2 B/sample) instead of float32
+    planes (8 B/sample) quarters the host->device transfer — which
+    dominates wall time for offline capture analysis (transfer ~100 MB/s
+    through this environment's tunnel vs multi-Gsamp/s device compute).
+    The decode itself is a trivial elementwise op XLA fuses away.
+    """
+    x = raw.astype(jnp.float32) - 127.0
+    return x[..., 0::2], x[..., 1::2]
+
+
 def _batch_products(iq_re, iq_im, cfg: SpecConfig, adj=None):
     """All blocks' zero-span DSP: batched curscan (fused Pallas kernel on
     TPU where supported) -> LogNoGain -> heatmap rows.
@@ -139,6 +153,14 @@ def _cont_weights(t: int) -> np.ndarray:
     with w_i = 2^-(t-i)) — no first-copy doubling."""
     i = np.arange(t)
     return 2.0 ** -(t - i.astype(np.float64))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def waterfall_stream_u8(raw: jax.Array, cfg: SpecConfig) -> StreamResult:
+    """(T, 2*full_size) raw capture bytes -> StreamResult, decoding on
+    device (see decode_u8_on_device)."""
+    re, im = decode_u8_on_device(raw)
+    return waterfall_stream(re, im, cfg)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "first"))

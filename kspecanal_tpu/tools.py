@@ -28,32 +28,62 @@ from kspecanal_tpu.ops.spectrum import curscan_auto_batched
 from kspecanal_tpu.utils.logging import log_info
 
 
+def _analyze_planes(re, im, cfg) -> dict:
+    """All four spectrum variants from float32 planes (host path)."""
+    run = jax.jit(lambda r, i: curscan_auto_batched(r, i, cfg))
+    out = {"complex": np.asarray(jnp.mean(run(re, im), axis=0))}
+    zero = jnp.zeros_like(re)
+    out["real"] = np.asarray(jnp.mean(run(re, zero), axis=0))
+    out["imag"] = np.asarray(jnp.mean(run(im, zero), axis=0))
+    mag = jnp.sqrt(re ** 2 + im ** 2)
+    out["abs"] = np.asarray(jnp.mean(run(mag, zero), axis=0))
+    return out
+
+
 def analyze_capture(path: str, fft_size: int = 2048,
                     window: str = "WIN.HANNING",
                     decimate: Optional[int] = None) -> dict:
-    re, im = load_rtlsdr_capture(path)
-    if decimate:
-        # group-sum decimation (process_rtlsdr.m:16-25)
-        n = (len(re) // decimate) * decimate
-        re = re[:n].reshape(-1, decimate).sum(axis=1)
-        im = im[:n].reshape(-1, decimate).sum(axis=1)
     cfg = SpecConfig(prg_mode="ZEROSPAN", fft_size=fft_size,
                      window=window).finalize()
     full = cfg.full_size
-    t = len(re) // full
-    if t == 0:
-        raise ValueError(f"{path}: capture shorter than one block ({full})")
-    blocks_re = jnp.asarray(re[: t * full].reshape(t, full), jnp.float32)
-    blocks_im = jnp.asarray(im[: t * full].reshape(t, full), jnp.float32)
+    if decimate:
+        # group-sum decimation (process_rtlsdr.m:16-25), host-side
+        re, im = load_rtlsdr_capture(path)
+        n = (len(re) // decimate) * decimate
+        re = re[:n].reshape(-1, decimate).sum(axis=1)
+        im = im[:n].reshape(-1, decimate).sum(axis=1)
+        t = len(re) // full
+        if t == 0:
+            raise ValueError(f"{path}: capture shorter than one block "
+                             f"({full})")
+        out = _analyze_planes(
+            jnp.asarray(re[: t * full].reshape(t, full), jnp.float32),
+            jnp.asarray(im[: t * full].reshape(t, full), jnp.float32), cfg)
+    else:
+        # RAW-byte ingest: ship uint8 (2 B/sample, 4x less than f32
+        # planes) and decode on device — host->device transfer dominates
+        # offline analysis wall time (parallel/stream.decode_u8_on_device).
+        raw = np.fromfile(path, np.uint8)
+        t = (len(raw) // 2) // full
+        if t == 0:
+            raise ValueError(f"{path}: capture shorter than one block "
+                             f"({full})")
+        blocks = jnp.asarray(raw[: t * 2 * full].reshape(t, 2 * full))
 
-    run = jax.jit(lambda r, i: curscan_auto_batched(r, i, cfg))
-    out = {"complex": np.asarray(jnp.mean(run(blocks_re, blocks_im), axis=0))}
-    # real/imag/abs variants (process_rtlsdr.m:27-50)
-    zero = jnp.zeros_like(blocks_re)
-    out["real"] = np.asarray(jnp.mean(run(blocks_re, zero), axis=0))
-    out["imag"] = np.asarray(jnp.mean(run(blocks_im, zero), axis=0))
-    mag = jnp.sqrt(blocks_re ** 2 + blocks_im ** 2)
-    out["abs"] = np.asarray(jnp.mean(run(mag, zero), axis=0))
+        @jax.jit
+        def run_all(rw):
+            from kspecanal_tpu.parallel.stream import decode_u8_on_device
+            re, im = decode_u8_on_device(rw)
+            zero = jnp.zeros_like(re)
+            mag = jnp.sqrt(re ** 2 + im ** 2)
+            return (jnp.mean(curscan_auto_batched(re, im, cfg), axis=0),
+                    jnp.mean(curscan_auto_batched(re, zero, cfg), axis=0),
+                    jnp.mean(curscan_auto_batched(im, zero, cfg), axis=0),
+                    jnp.mean(curscan_auto_batched(mag, zero, cfg), axis=0))
+
+        c, r, i, a = run_all(blocks)
+        out = {"complex": np.asarray(c), "real": np.asarray(r),
+               "imag": np.asarray(i), "abs": np.asarray(a)}
     out["num_blocks"] = t
     out["fft_size"] = fft_size
     return out

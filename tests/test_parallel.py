@@ -239,3 +239,27 @@ def test_fused_kernels_inside_shard_map():
         np.testing.assert_allclose(np.asarray(got.fft_avg),
                                    np.asarray(base.fft_avg),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_raw_u8_device_decode_matches_host():
+    """waterfall_stream_u8 (raw bytes decoded in-jit) == host decode path."""
+    from kspecanal_tpu.io.sources import load_rtlsdr_capture
+    from kspecanal_tpu.parallel.stream import (waterfall_stream,
+                                               waterfall_stream_u8)
+    rng = np.random.default_rng(31)
+    cfg = SpecConfig(prg_mode="ZEROSPAN", fft_size=256, sampling_rate=2.4e6,
+                     window=WINDOW_HANNING, cur_scan_non_overlap=0.5,
+                     x_res=256).finalize()
+    t = 3
+    raw = rng.integers(0, 256, size=t * 2 * cfg.full_size).astype(np.uint8)
+    x = raw.astype(np.float32) - 127.0
+    re = jnp.asarray(x[0::2].reshape(t, cfg.full_size))
+    im = jnp.asarray(x[1::2].reshape(t, cfg.full_size))
+    want = waterfall_stream(re, im, cfg)
+    got = waterfall_stream_u8(
+        jnp.asarray(raw.reshape(t, 2 * cfg.full_size)), cfg)
+    np.testing.assert_allclose(np.asarray(got.rows), np.asarray(want.rows),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(got.fft_avg),
+                               np.asarray(want.fft_avg),
+                               rtol=1e-6, atol=1e-7)
