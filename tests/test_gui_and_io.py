@@ -264,3 +264,26 @@ def test_native_streaming_source(tmp_path, rng):
             np.testing.assert_array_equal(im, rim)
     finally:
         src.close()
+
+
+def test_replay_of_reference_written_save():
+    """Golden cross-implementation fixture: tests/fixtures/
+    reference_zerospan_1024.save was recorded by RUNNING the reference
+    program itself (kspecanal.py zeroSpanSave on its testfft simulator,
+    fftSize 1024, centerFreq 92e6 — see scripts/crosscheck_reference.py).
+    Our player must parse it and the simulator's integer-MHz tones must
+    land on MHz bins through our display chain."""
+    import os
+    from kspecanal_tpu.io.replay import ZeroSpanPlayer
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "reference_zerospan_1024.save")
+    p = ZeroSpanPlayer(path)
+    assert (p.header.center_freq, p.header.sampling_rate,
+            p.header.gain) == (92e6, 2.4e6, 19.1)
+    frames = list(p.frames())
+    p.close()
+    assert len(frames) == 6 and len(frames[0][1]) == 1024
+    freqs = np.fft.fftshift(np.fft.fftfreq(1024, 1 / 2.4e6)) + 92e6
+    spec = np.asarray(frames[-1][1])
+    for f in freqs[np.argsort(spec)[-3:]]:
+        assert abs(f - round(f / 1e6) * 1e6) < 2.4e6 / 1024
