@@ -209,6 +209,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     if run.renderer == "term":
         from kspecanal_tpu.render_term import TerminalRenderer
         renderer = TerminalRenderer(cfg)
+    elif run.renderer.startswith("png:"):
+        # headless frame dumps: one PNG per iteration into the given dir
+        from kspecanal_tpu.gui import MatplotlibRenderer
+        renderer = MatplotlibRenderer(cfg, interactive=False,
+                                      save_dir=run.renderer[4:])
     elif not run.headless and run.renderer == "gui":
         try:
             from kspecanal_tpu.gui import MatplotlibRenderer

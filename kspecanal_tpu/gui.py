@@ -33,10 +33,18 @@ CURVE_COLORS = {  # kspecanal.py:491-500: Max r, Min y, Avg g, Cur b
 class MatplotlibRenderer:
     """Renderer callback for Session: draws views, owns toggle state."""
 
-    def __init__(self, cfg: SpecConfig, interactive: bool = True):
+    def __init__(self, cfg: SpecConfig, interactive: bool = True,
+                 save_dir: str = ""):
+        """``save_dir``: write one PNG per rendered frame there instead of
+        (or in addition to) showing a window — headless monitoring
+        (``tpuRenderer png:<dir>``)."""
         import matplotlib
         if not interactive:
             matplotlib.use("Agg")
+        self.save_dir = save_dir
+        if save_dir:
+            import os
+            os.makedirs(save_dir, exist_ok=True)
         import matplotlib.pyplot as plt
         self.plt = plt
         self.cfg = cfg
@@ -168,6 +176,11 @@ class MatplotlibRenderer:
                 self._hm_image.set_data(hm)
                 self._hm_image.autoscale()
         self.plt.draw()
+        if self.save_dir:
+            import os
+            self.fig.savefig(os.path.join(self.save_dir,
+                                          f"frame_{iteration:06d}.png"),
+                             dpi=80)
         self.plt.pause(0.0001)
         if self.toggles["plt_highs_pause"]:
             input("PltHighsPause: Press any key to continue...")

@@ -287,3 +287,20 @@ def test_replay_of_reference_written_save():
     spec = np.asarray(frames[-1][1])
     for f in freqs[np.argsort(spec)[-3:]]:
         assert abs(f - round(f / 1e6) * 1e6) < 2.4e6 / 1024
+
+
+def test_png_renderer_writes_frames(tmp_path, rng):
+    matplotlib = pytest.importorskip("matplotlib")
+    matplotlib.use("Agg", force=True)
+    from kspecanal_tpu.gui import MatplotlibRenderer
+    from kspecanal_tpu import session as sess_mod
+    cfg = SpecConfig(prg_mode="ZEROSPAN", fft_size=128, sampling_rate=2.4e6,
+                     x_res=128).finalize()
+    r = MatplotlibRenderer(cfg, interactive=False, save_dir=str(tmp_path))
+    src = SynthIQSource(center_freq=cfg.center_freq,
+                        sample_rate=cfg.sampling_rate, seed=3)
+    sess = sess_mod.Session(cfg, src, renderer=r)
+    sess_mod.run_zero_span(sess, max_iters=2)
+    r.close()
+    frames = sorted(tmp_path.glob("frame_*.png"))
+    assert len(frames) == 2 and frames[0].stat().st_size > 1000
