@@ -140,6 +140,15 @@ def main():
         details[f"fft{fft_size}"] = {
             "tpu": device_samples_per_s(c, t_blocks=t_blocks)}
 
+    # Deep waterfall (BASELINE config 5): fftSize 16384, kaiser, 90%
+    # overlap (fractional hop -> pre-framed kernel / XLA chain)
+    c5 = SpecConfig(prg_mode="ZEROSPAN", fft_size=16384, sampling_rate=2.4e6,
+                    window=WINDOW_KAISER, cur_scan_non_overlap=0.1,
+                    x_res=512).finalize()
+    _progress("deep waterfall fft16384 ovl 0.9...")
+    details["fft16384_ovl90"] = {"tpu": device_samples_per_s(
+        c5, t_blocks=64, iters=5)}
+
     # Scan mode (BASELINE config 3): full FM sweep (17 bands, stitch fold)
     _progress("fm scan sweep...")
     details["fm_scan"] = {"tpu": scan_sweep_samples_per_s()}
