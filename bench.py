@@ -117,7 +117,9 @@ def main():
     _progress("primary fft2048 on device...")
     value = device_samples_per_s(cfg, t_blocks=2048)
     _progress(f"primary done: {value/1e9:.2f} Gsamp/s; cpu oracle...")
-    base = numpy_baseline_samples_per_s(cfg, t_blocks=8)
+    # best-of-3: the serial NumPy oracle is sensitive to ambient host load
+    base = max(numpy_baseline_samples_per_s(cfg, t_blocks=8)
+               for _ in range(3))
     details["fft2048"] = {"tpu": value, "cpu_oracle": base}
 
     # Precision ladder on the primary config (tpuPrecision option):
