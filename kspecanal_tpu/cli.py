@@ -235,15 +235,27 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     signal.signal(signal.SIGINT, _sigint)
     from kspecanal_tpu.utils.profiling import trace
+    rc = 0
     try:
         with trace(run.profile_dir or None):
             sess_mod.do_run(sess)
+    except FileNotFoundError as e:
+        log_info(f"ERROR: {e}")
+        rc = 1
+    except Exception as e:
+        import pickle
+        if isinstance(e, pickle.UnpicklingError):
+            log_info(f"ERROR: {cfg.zero_span_play_file} is not a "
+                     f"kspecanal save stream ({e})")
+            rc = 1
+        else:
+            raise
     finally:
         if source is not None:
             source.close()
         sess.save_baseline()
         sess.timer.log_report()
-    return 0
+    return rc
 
 
 if __name__ == "__main__":
