@@ -60,7 +60,12 @@ class Session:
         if not self.state_file or not os.path.exists(self.state_file):
             return None
         from kspecanal_tpu.io.state import load_state
-        st = load_state(self.state_file, cfg, kind=kind)
+        try:
+            st = load_state(self.state_file, cfg, kind=kind)
+        except Exception as e:  # corrupt/foreign file: start fresh
+            log_warn(f"resume: unreadable checkpoint {self.state_file} "
+                     f"({e}); starting fresh")
+            return None
         if st is not None:
             log_info(f"resume: restored state from {self.state_file}")
         return st
