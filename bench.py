@@ -132,8 +132,10 @@ def main():
         details[f"fft2048_{prec.lower()}"] = {
             "tpu": device_samples_per_s(cp, t_blocks=2048)}
 
-    # Secondary: spot checks across the 64-16384 fftSize range
-    for fft_size, t_blocks in ((64, 4096), (4096, 1024), (16384, 256)):
+    # Secondary: spot checks across the 64-16384 fftSize range (fft64 uses
+    # a large batch: at 2 Msamples/call the fixed ~2ms dispatch overhead
+    # dominates and the reading wobbles 0.57-0.73G run to run)
+    for fft_size, t_blocks in ((64, 16384), (4096, 1024), (16384, 256)):
         c = SpecConfig(prg_mode="ZEROSPAN", fft_size=fft_size,
                        sampling_rate=2.4e6, window=WINDOW_KAISER,
                        cur_scan_non_overlap=0.5,
