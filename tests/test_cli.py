@@ -131,3 +131,16 @@ def test_tpu_precision_option():
     assert matmul_precision("DEFAULT") == jax.lax.Precision.DEFAULT
     with pytest.raises(ValueError):
         matmul_precision("bogus")
+
+
+def test_replay_error_paths(tmp_path):
+    """Missing / corrupt replay files exit 1 with a clean message instead
+    of a traceback; truncated streams end gracefully at EOF."""
+    from kspecanal_tpu.cli import main
+    missing = str(tmp_path / "nope.save")
+    assert main(["zeroSpanPlay", "zeroSpanPlayFile", missing,
+                 "tpuRenderer", "none"]) == 1
+    garbage = tmp_path / "garbage.save"
+    garbage.write_bytes(b"\x00\x01notapickle" * 4)
+    assert main(["zeroSpanPlay", "zeroSpanPlayFile", str(garbage),
+                 "tpuRenderer", "none"]) == 1
