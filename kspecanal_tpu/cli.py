@@ -102,7 +102,10 @@ _RUNOPT_KEYMAP = {
     "TPUMESHBAND": ("mesh_band", int),
     "TPUPREFETCH": ("prefetch", _boolean),
     "TPUPROFILE": ("profile_dir", str),
-    "TPURENDERER": ("renderer", lambda v: v.lower()),
+    # Lowercase only the scheme: the png:<dir> form embeds a case-sensitive
+    # directory path that must pass through untouched.
+    "TPURENDERER": ("renderer", lambda v: (
+        v[:4].lower() + v[4:] if v[:4].lower() == "png:" else v.lower())),
     # Checkpoint/resume: snapshot curves + waterfall on exit, resume on
     # start when the file matches the config (io/state.py).
     "TPUSTATEFILE": ("state_file", str),

@@ -26,8 +26,15 @@ def _load() -> ctypes.CDLL:
     if _lib is not None:
         return _lib
     if not os.path.exists(_LIB_PATH):
-        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                       capture_output=True)
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True)
+        except subprocess.CalledProcessError as e:
+            # Surface as OSError: callers' documented fallback contract is
+            # `except (OSError, ImportError)` -> NumPy reader.
+            raise OSError(
+                f"native iqdecode build failed: "
+                f"{e.stderr.decode(errors='replace').strip()[-200:]}") from e
     lib = ctypes.CDLL(_LIB_PATH)
     lib.iq_decode_u8.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),

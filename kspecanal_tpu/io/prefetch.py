@@ -29,7 +29,12 @@ class PrefetchingSource:
     def __init__(self, inner, block_size: int, depth: int = 4):
         self._inner = inner
         self._block = block_size
-        self._q: "queue.Queue[Planes]" = queue.Queue(maxsize=depth)
+        # Queue items are (epoch, block): a block read under tuning epoch k
+        # is discarded by read() once a retune has bumped the epoch, even if
+        # the worker enqueued it AFTER retune() drained the queue (the
+        # worker may sit between releasing the lock and put()).
+        self._q: "queue.Queue[Tuple[int, Planes]]" = queue.Queue(maxsize=depth)
+        self._epoch = 0
         self._stop = threading.Event()
         self._gen = threading.Event()
         self._gen.set()
@@ -56,7 +61,10 @@ class PrefetchingSource:
                 return self._inner.read(n)
         while True:
             try:
-                return self._q.get(timeout=0.1)
+                epoch, block = self._q.get(timeout=0.1)
+                if epoch == self._epoch:
+                    return block
+                # stale: read at a pre-retune tuning — drop and keep waiting
             except queue.Empty:
                 if self._stop.is_set():
                     with self._lock:
@@ -66,6 +74,7 @@ class PrefetchingSource:
         self._gen.clear()          # pause the worker
         with self._lock:
             ok = self._inner.retune(center_freq, sample_rate, gain)
+            self._epoch += 1       # invalidates in-flight worker blocks too
             # drop now-stale prefetched blocks
             while True:
                 try:
@@ -90,15 +99,16 @@ class PrefetchingSource:
             with self._lock:
                 if self._stop.is_set():
                     return
+                epoch = self._epoch
                 block = self._inner.read(self._block)
             try:
-                self._q.put(block, timeout=0.5)
+                self._q.put((epoch, block), timeout=0.5)
             except queue.Full:
                 # consumer is slower than the source; drop nothing, retry —
                 # put() re-attempted with the same block next loop
                 while not self._stop.is_set():
                     try:
-                        self._q.put(block, timeout=0.5)
+                        self._q.put((epoch, block), timeout=0.5)
                         break
                     except queue.Full:
                         continue

@@ -38,12 +38,21 @@ def _fingerprint(cfg: SpecConfig) -> np.ndarray:
                       np.float64)
 
 
+def state_path(path: str) -> str:
+    """The actual on-disk filename for a requested checkpoint path.
+
+    np.savez appends '.npz' to names without it, so `tpuStateFile /tmp/ck`
+    writes /tmp/ck.npz — save and resume must agree on the suffixed name or
+    resume silently never finds the file."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_state(path: str, state: Union[ZeroSpanState, ScanState],
                cfg: SpecConfig) -> None:
     kind = "zerospan" if isinstance(state, ZeroSpanState) else "scan"
     arrays = {f: np.asarray(getattr(state, f)) for f in state._fields}
-    np.savez(path, __kind__=kind, __fingerprint__=_fingerprint(cfg),
-             **arrays)
+    np.savez(state_path(path), __kind__=kind,
+             __fingerprint__=_fingerprint(cfg), **arrays)
 
 
 def load_state(path: str, cfg: SpecConfig, kind: str = ""):
@@ -55,7 +64,7 @@ def load_state(path: str, cfg: SpecConfig, kind: str = ""):
     checkpoint written by the other mode — a zero-span session must not
     resume a ScanState even when the frequency fingerprint coincides.
     """
-    with np.load(path, allow_pickle=False) as z:
+    with np.load(state_path(path), allow_pickle=False) as z:
         saved_kind = str(z["__kind__"])
         fp = z["__fingerprint__"]
         if (fp.shape != _fingerprint(cfg).shape
@@ -68,4 +77,9 @@ def load_state(path: str, cfg: SpecConfig, kind: str = ""):
                      f"current mode needs {kind}; ignoring")
             return None
         cls = _STATE_TYPES[saved_kind]
+        missing = [f for f in cls._fields if f not in z.files]
+        if missing:
+            log_warn(f"load_state: {path} lacks fields {missing} (older "
+                     f"state layout); ignoring")
+            return None
         return cls(**{f: jnp.asarray(z[f]) for f in cls._fields})

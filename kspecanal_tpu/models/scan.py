@@ -246,7 +246,8 @@ def _stitch_one_band(carry, pr, i_start, b: BandPlan, cfg: SpecConfig,
 
 
 def stitch_sweep(state: ScanState, spectra_db: jax.Array, cfg: SpecConfig,
-                 plan: ScanPlan) -> ScanState:
+                 plan: ScanPlan,
+                 adj: Optional[jax.Array] = None) -> ScanState:
     """Fold one sweep's band spectra into the global stitched curves.
 
     Reproduces the order-dependent merge of kspecanal.py:642-668:
@@ -257,9 +258,24 @@ def stitch_sweep(state: ScanState, spectra_db: jax.Array, cfg: SpecConfig,
 
     Large sweeps (quickFullScan: 1000+ bands) fold their uniform middle run
     through lax.scan instead of unrolling — same math, O(1) program size.
+
+    ``adj`` is the optional signal-level baseline: the heatmap row records
+    the baseline-ADJUSTED Avg (the reference's fftHM write at :697 uses the
+    fftAvg that _adj_siglvls returned at :670).
     """
     first_sweep = state.sweep == 0
     carry = (state.fft_cur, state.fft_max, state.fft_min, state.fft_avg)
+
+    def _finish(carry):
+        # Shared epilogue: heatmap row from compressed adjusted Avg, once
+        # per sweep (kspecanal.py:696-697), then the ring-index/sweep bump.
+        cur, fmax, fmin, favg = carry
+        a_avg = favg if adj is None else favg - adj
+        row = dsp.compress_1d(a_avg, cfg.plt_compress_hm, cfg.x_res)
+        heatmap = state.heatmap.at[state.hm_index].set(row)
+        return ScanState(fmax, fmin, favg, cur, heatmap,
+                         (state.hm_index + 1) % HEATMAP_ROWS,
+                         state.sweep + 1)
 
     if plan.num_bands > _UNROLL_MAX_BANDS:
         run_start, run_len, stride = _uniform_run(plan)
@@ -287,25 +303,14 @@ def stitch_sweep(state: ScanState, spectra_db: jax.Array, cfg: SpecConfig,
                 b = plan.bands[bi]
                 carry = _stitch_one_band(carry, spectra_db[bi], b.i_start,
                                          b, cfg, first_sweep)
-            cur, fmax, fmin, favg = carry
-            row = dsp.compress_1d(favg, cfg.plt_compress_hm, cfg.x_res)
-            heatmap = state.heatmap.at[state.hm_index].set(row)
-            return ScanState(fmax, fmin, favg, cur, heatmap,
-                             (state.hm_index + 1) % HEATMAP_ROWS,
-                             state.sweep + 1)
+            return _finish(carry)
         # non-uniform large plan: fall through to unrolled (rare)
 
     # Unrolled fold (small plans): same band-stitch helper as the fast path.
     for bi, b in enumerate(plan.bands):
         carry = _stitch_one_band(carry, spectra_db[bi], b.i_start, b, cfg,
                                  first_sweep)
-    cur, fmax, fmin, favg = carry
-    # Heatmap row from compressed Avg, once per sweep (:696-697)
-    row = dsp.compress_1d(favg, cfg.plt_compress_hm, cfg.x_res)
-    heatmap = state.heatmap.at[state.hm_index].set(row)
-    hm_index = (state.hm_index + 1) % HEATMAP_ROWS
-    return ScanState(fmax, fmin, favg, cur, heatmap, hm_index,
-                     state.sweep + 1)
+    return _finish(carry)
 
 
 def scan_view(state: ScanState, cfg: SpecConfig, plan: ScanPlan,
@@ -326,12 +331,16 @@ def scan_view(state: ScanState, cfg: SpecConfig, plan: ScanPlan,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "plan"))
 def sweep_step_jit(state: ScanState, iq_re, iq_im, retune_ok,
-                   cfg: SpecConfig, plan: ScanPlan) -> ScanState:
+                   cfg: SpecConfig, plan: ScanPlan,
+                   adj=None) -> ScanState:
     """One full sweep on-device: batched band spectra + stitch fold."""
     spectra = band_spectra(iq_re, iq_im, retune_ok, cfg)
-    return stitch_sweep(state, spectra, cfg, plan)
+    return stitch_sweep(state, spectra, cfg, plan, adj)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "plan"))
-def scan_view_jit(state, cfg: SpecConfig, plan: ScanPlan):
-    return scan_view(state, cfg, plan)
+def scan_view_jit(state, adj, cfg: SpecConfig, plan: ScanPlan):
+    """Jitted ``scan_view``: one device program instead of ~10 eager
+    dispatches per rendered sweep (each eager op pays the tunneled-RPC
+    dispatch cost; CLAUDE.md measures it at ~2-4 ms)."""
+    return scan_view(state, cfg, plan, adj)

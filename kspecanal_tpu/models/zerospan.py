@@ -32,8 +32,12 @@ from kspecanal_tpu.ops.spectrum import curscan
 class ZeroSpanState(NamedTuple):
     """Accumulated curves (dB domain, post display transform) + waterfall.
 
-    ``iteration == 0`` encodes the reference's ``Fft.* = None`` first-copy
-    semantics (kspecanal.py:439-442 with data_cumu's None branch :133-134).
+    ``seeded`` is a per-curve bitmask (bit0 Max, bit1 Min, bit2 Avg)
+    encoding the reference's ``Fft.* = None`` first-copy semantics
+    (kspecanal.py:439-442 with data_cumu's None branch :133-134): a curve
+    cumulates only after its bit is set, so a curve enabled mid-run by a
+    GUI toggle first-copies instead of cumulating against the zeros seed
+    (in the reference that curve's Fft.* is still None at enable time).
     """
     fft_max: jax.Array      # (fft_size,)
     fft_min: jax.Array
@@ -42,6 +46,7 @@ class ZeroSpanState(NamedTuple):
     heatmap: jax.Array      # (HEATMAP_ROWS, hm_width) ring buffer
     hm_index: jax.Array     # int32 scalar: next row to write
     iteration: jax.Array    # int32 scalar
+    seeded: jax.Array       # int32 scalar bitmask: bit0 max/1 min/2 avg
 
 
 class ZeroSpanView(NamedTuple):
@@ -65,6 +70,7 @@ def init_state(cfg: SpecConfig) -> ZeroSpanState:
         heatmap=jnp.zeros((HEATMAP_ROWS, w), jnp.float32),
         hm_index=jnp.zeros((), jnp.int32),
         iteration=jnp.zeros((), jnp.int32),
+        seeded=jnp.zeros((), jnp.int32),
     )
 
 
@@ -79,21 +85,25 @@ def display_update(state: ZeroSpanState, spectrum_linear: jax.Array,
     (curscan output or a replayed frame).  ``adj`` is the optional signal-
     level baseline (``Fft.Adj``, kspecanal.py:400-411).
     """
-    first = state.iteration == 0
-    # LogNoGain with NO inf replacement (zero_span passes infTo=None,
-    # kspecanal.py:469).
-    fft_pr = dsp.log_no_gain(spectrum_linear.astype(jnp.float32), cfg.gain)
+    # The zero_span display chain (gZeroSpanFftDispProcMode, default
+    # 'LogNoGain') with NO inf replacement (kspecanal.py:63,469).
+    fft_pr = dsp.fftvals_dispproc(spectrum_linear.astype(jnp.float32),
+                                  cfg.zero_span_disp_proc, gain=cfg.gain)
 
-    def cumu(cur, mode, enabled):
+    def cumu(cur, mode, enabled, bit):
         if not enabled:
             return cur
+        first = (state.seeded & bit) == 0   # Fft.* still None (:133-134)
         new = dsp.cumulate(mode, cur, fft_pr)
         return jnp.where(first, fft_pr, new)
 
-    fft_max = cumu(state.fft_max, "MAX", cfg.b_data_max)
-    fft_min = cumu(state.fft_min, "MIN", cfg.b_data_min)
-    fft_avg = cumu(state.fft_avg, "AVG", cfg.b_data_avg)
+    fft_max = cumu(state.fft_max, "MAX", cfg.b_data_max, 1)
+    fft_min = cumu(state.fft_min, "MIN", cfg.b_data_min, 2)
+    fft_avg = cumu(state.fft_avg, "AVG", cfg.b_data_avg, 4)
     fft_cur = fft_pr
+    seeded = state.seeded | ((1 if cfg.b_data_max else 0)
+                             | (2 if cfg.b_data_min else 0)
+                             | (4 if cfg.b_data_avg else 0))
 
     if adj is not None:
         a_max, a_min, a_avg, a_cur = (fft_max - adj, fft_min - adj,
@@ -115,7 +125,7 @@ def display_update(state: ZeroSpanState, spectrum_linear: jax.Array,
     _, cur_l = dsp.compress_xy(freqs, a_cur, cfg.plt_compress, cfg.x_res)
 
     new_state = ZeroSpanState(fft_max, fft_min, fft_avg, fft_cur,
-                              heatmap, hm_index, state.iteration + 1)
+                              heatmap, hm_index, state.iteration + 1, seeded)
     view = ZeroSpanView(x_freqs, max_l, min_l, avg_l, cur_l, heatmap,
                         spectrum_linear)
     return new_state, view

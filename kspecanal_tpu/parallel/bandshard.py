@@ -40,26 +40,27 @@ def _build_sweep_sharded(cfg: SpecConfig, plan: ScanPlan, mesh: Mesh):
     s = mesh.shape["band"]
     padded = -(-plan.num_bands // s) * s
 
-    def body(state, iq_re, iq_im, retune_ok):
+    def body(state, iq_re, iq_im, retune_ok, adj):
         # Local bands only: (padded/S, full_size)
         spectra_local = band_spectra(iq_re, iq_im, retune_ok, cfg)
         spectra = jax.lax.all_gather(spectra_local, "band", tiled=True)
         spectra = spectra[: plan.num_bands]
-        return stitch_sweep(state, spectra, cfg, plan)
+        return stitch_sweep(state, spectra, cfg, plan, adj)
 
     fn = shard_map(
         body, mesh=mesh,
-        in_specs=(P(), P("band"), P("band"), P("band")),
+        in_specs=(P(), P("band"), P("band"), P("band"), P()),
         out_specs=P(),
         check_vma=False,
     )
 
     @jax.jit
-    def run(state: ScanState, iq_re, iq_im, retune_ok) -> ScanState:
+    def run(state: ScanState, iq_re, iq_im, retune_ok, adj) -> ScanState:
         return fn(state,
                   _pad_bands(iq_re, padded),
                   _pad_bands(iq_im, padded),
-                  _pad_bands(retune_ok, padded))
+                  _pad_bands(retune_ok, padded),
+                  adj)
 
     return run
 
@@ -67,9 +68,14 @@ def _build_sweep_sharded(cfg: SpecConfig, plan: ScanPlan, mesh: Mesh):
 def sweep_step_band_sharded(state: ScanState, iq_re: jax.Array,
                             iq_im: jax.Array, retune_ok: jax.Array,
                             cfg: SpecConfig, plan: ScanPlan,
-                            mesh: Mesh) -> ScanState:
+                            mesh: Mesh, adj: jax.Array = None) -> ScanState:
     """Drop-in sharded ``models.scan.sweep_step_jit``: same
     (state, (B, full_size) IQ, (B,) ok-flags) -> state contract, with the
-    band axis sharded over the mesh."""
+    band axis sharded over the mesh.  ``adj`` (replicated) feeds the
+    heatmap row's baseline adjustment exactly as in the single-device
+    stitch."""
     run = _build_sweep_sharded(cfg, plan, mesh)
-    return run(state, iq_re, iq_im, retune_ok)
+    if adj is None:
+        # shard_map in_specs are static: pass a concrete zero baseline.
+        adj = jnp.zeros(plan.total_entries, jnp.float32)
+    return run(state, iq_re, iq_im, retune_ok, adj)

@@ -57,9 +57,10 @@ class Session:
         guards against resuming the other mode's state when frequency
         fingerprints coincide (zero-span 92e6/2.4e6 == scan 90.8-93.2e6)."""
         import os
-        if not self.state_file or not os.path.exists(self.state_file):
+        from kspecanal_tpu.io.state import load_state, state_path
+        if not self.state_file or not os.path.exists(
+                state_path(self.state_file)):
             return None
-        from kspecanal_tpu.io.state import load_state
         try:
             st = load_state(self.state_file, cfg, kind=kind)
         except Exception as e:  # corrupt/foreign file: start fresh
@@ -188,15 +189,21 @@ def run_zero_span_save(sess: Session, max_iters: Optional[int] = None) -> int:
         while written < n and not sess.stop:
             k = min(chunk, n - written)
             with sess.timer.stage("acquire", k * cfg.full_size):
-                blocks = [sess.source.read(cfg.full_size) for _ in range(k)]
+                # Per-frame capture timestamps (the reference stamps each
+                # iteration individually, kspecanal.py:516-525; one shared
+                # post-dispatch time would plateau replay xlabels in
+                # 8-frame steps).
+                blocks, stamps = [], []
+                for _ in range(k):
+                    blocks.append(sess.source.read(cfg.full_size))
+                    stamps.append(time.time())
                 re = jnp.asarray(np.stack([b[0] for b in blocks]))
                 im = jnp.asarray(np.stack([b[1] for b in blocks]))
             with sess.timer.stage("dsp", k * cfg.full_size):
                 spectra = run(re, im)
-            now = time.time()
             with sess.timer.stage("persist"):
-                for spec in np.asarray(spectra, np.float64):
-                    rec.append(spec, timestamp=now)
+                for ts, spec in zip(stamps, np.asarray(spectra, np.float64)):
+                    rec.append(spec, timestamp=ts)
             written += k
     return written
 
@@ -291,11 +298,12 @@ def run_scan(sess: Session, max_sweeps: Optional[int] = None
             from kspecanal_tpu.parallel.bandshard import \
                 sweep_step_band_sharded
             state = sweep_step_band_sharded(state, re, im, oks, cfg, plan,
-                                            sess.mesh)
+                                            sess.mesh, adj)
         else:
-            state = scan_mod.sweep_step_jit(state, re, im, oks, cfg, plan)
+            state = scan_mod.sweep_step_jit(state, re, im, oks, cfg, plan,
+                                            adj)
         if sess.renderer is not None:
-            view = scan_mod.scan_view(state, cfg, plan, adj)
+            view = scan_mod.scan_view_jit(state, adj, cfg, plan)
             sess._emit(view, i)
     sess.final_avg = np.asarray(state.fft_avg, np.float64)
     sess._checkpoint_state(state, cfg)
