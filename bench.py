@@ -165,6 +165,10 @@ def main():
         "value": value,
         "unit": "samples/s",
         "vs_baseline": value / base,
+        # Round-1 numbers (README table) were best-of-1; the tunnel's
+        # occasional ~2x-slow outlier motivated the change (CLAUDE.md).
+        "methodology": "primary tpu: best-of-2 runs of 10 queued iters "
+                       "each; cpu oracle: best-of-3",
         "details": details,
     }
     print(json.dumps(result))

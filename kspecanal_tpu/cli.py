@@ -257,6 +257,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         if source is not None:
             source.close()
         sess.save_baseline()
+        # Interactive-GUI contract: hold the final figure until a keypress
+        # (kspecanal.py:1152-1155).  Only for a live window — headless/
+        # term/png runs must not block scripted use.
+        if renderer is not None and getattr(renderer, "interactive", False):
+            renderer.hold_until_key()
         sess.timer.log_report()
     return rc
 

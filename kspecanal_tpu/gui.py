@@ -41,6 +41,7 @@ class MatplotlibRenderer:
         import matplotlib
         if not interactive:
             matplotlib.use("Agg")
+        self.interactive = interactive
         self.save_dir = save_dir
         if save_dir:
             import os
@@ -197,6 +198,17 @@ class MatplotlibRenderer:
                                f"{round(p.freq / 1e6, 8)}:{round(p.level, 2)}")
         if peaks:
             self.ax_levels.legend()
+
+    def hold_until_key(self):
+        """End-of-run hold: keep the figure up until a keypress
+        (kspecanal.py:1152-1155, incl. the Quit-button relabel)."""
+        self._buttons["Quit"].label.set_text("QuitPress")
+        self.plt.draw()
+        self.plt.pause(0.0001)
+        try:
+            input("Press any key to quit...")
+        except EOFError:   # piped stdin: don't wedge scripted runs
+            pass
 
     def close(self):
         self.plt.close(self.fig)

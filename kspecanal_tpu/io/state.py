@@ -29,12 +29,18 @@ _STATE_TYPES = {"zerospan": ZeroSpanState, "scan": ScanState}
 def _fingerprint(cfg: SpecConfig) -> np.ndarray:
     # x_res and the heatmap compress mode determine the heatmap ring
     # width, so they must match too or the restored state's buffers would
-    # shape-clash inside the jitted step.
+    # shape-clash inside the jitted step.  window / overlap / cumu-mode
+    # don't change any shape, but they change the curves' MATH — resuming
+    # across a change would silently continue curves cumulated under
+    # different numerics, so they are part of the identity too.
     import zlib  # crc32: stable across processes (hash() is salted)
     return np.asarray([cfg.fft_size, cfg.start_freq or 0.0,
                        cfg.end_freq or 0.0, cfg.sampling_rate, cfg.gain,
                        cfg.x_res,
-                       float(zlib.crc32(cfg.plt_compress_hm.encode()))],
+                       float(zlib.crc32(cfg.plt_compress_hm.encode())),
+                       float(zlib.crc32(cfg.window.encode())),
+                       cfg.cur_scan_non_overlap,
+                       float(zlib.crc32(cfg.cur_scan_cumu_mode.encode()))],
                       np.float64)
 
 
@@ -69,17 +75,17 @@ def load_state(path: str, cfg: SpecConfig, kind: str = ""):
         fp = z["__fingerprint__"]
         if (fp.shape != _fingerprint(cfg).shape
                 or not np.array_equal(fp, _fingerprint(cfg))):
-            log_warn(f"load_state: {path} was written for a different "
+            log_warn(f"load_state: {state_path(path)} was written for a different "
                      f"config; ignoring")
             return None
         if kind and saved_kind != kind:
-            log_warn(f"load_state: {path} holds a {saved_kind} state, "
+            log_warn(f"load_state: {state_path(path)} holds a {saved_kind} state, "
                      f"current mode needs {kind}; ignoring")
             return None
         cls = _STATE_TYPES[saved_kind]
         missing = [f for f in cls._fields if f not in z.files]
         if missing:
-            log_warn(f"load_state: {path} lacks fields {missing} (older "
+            log_warn(f"load_state: {state_path(path)} lacks fields {missing} (older "
                      f"state layout); ignoring")
             return None
         return cls(**{f: jnp.asarray(z[f]) for f in cls._fields})

@@ -71,7 +71,13 @@ def _batch_products(iq_re, iq_im, cfg: SpecConfig, adj=None):
     compressed from the adjusted spectra while the returned dB spectra
     (which feed the max/min/avg state curves) stay unadjusted."""
     spec_lin = curscan_auto_batched(iq_re, iq_im, cfg)   # (T, fft_size)
-    dbs = dsp.log_no_gain(spec_lin, cfg.gain)
+    # Honor the configured display chain (gZeroSpanFftDispProcMode,
+    # kspecanal.py:63,469) — models/zerospan.py does the same, so a
+    # non-default chain keeps both paths identical.  Applied per row:
+    # HistLowClip reduces over its input, so the batch axis must not leak
+    # into its min/max.
+    dbs = jax.vmap(lambda s: dsp.fftvals_dispproc(
+        s, cfg.zero_span_disp_proc, gain=cfg.gain))(spec_lin)
     disp = dbs if adj is None else dbs - adj[None, :]
     rows = jax.vmap(
         lambda d: dsp.compress_1d(d, cfg.plt_compress_hm, cfg.x_res))(disp)

@@ -68,14 +68,16 @@ class Session:
                      f"({e}); starting fresh")
             return None
         if st is not None:
-            log_info(f"resume: restored state from {self.state_file}")
+            log_info(f"resume: restored state from "
+                     f"{state_path(self.state_file)}")
         return st
 
     def _checkpoint_state(self, state, cfg: SpecConfig):
         if self.state_file and state is not None:
-            from kspecanal_tpu.io.state import save_state
+            from kspecanal_tpu.io.state import save_state, state_path
             save_state(self.state_file, state, cfg)
-            log_info(f"checkpoint: saved state to {self.state_file}")
+            log_info(f"checkpoint: saved state to "
+                     f"{state_path(self.state_file)}")
 
     # -- baseline handling (kspecanal.py:736-768, :400-411) --------------
     def _load_baseline(self):
@@ -102,9 +104,33 @@ class Session:
     def _emit(self, view, iteration: int, timestamp_str: Optional[str] = None):
         if self.renderer is None:
             return
-        peaks = find_peaks(np.asarray(view.x_freqs), np.asarray(view.cur_lvls),
-                           self.cfg.plt_highs_num_markers,
-                           self.cfg.plt_highs_delta4marking)
+        cfg = self.cfg
+        peaks = []
+        if cfg.b_plt_levels:
+            # The reference marks peaks on whichever curve was DRAWN LAST
+            # (kspecanal.py:485-504: yLvls falls through the max/min/avg/cur
+            # plot sequence), i.e. cur if enabled, else avg, else min, else
+            # max; plot_highs runs only when the levels pane is on (:503).
+            lvls = None
+            for key, arr in (("b_data_max", view.max_lvls),
+                             ("b_data_min", view.min_lvls),
+                             ("b_data_avg", view.avg_lvls),
+                             ("b_data_cur", view.cur_lvls)):
+                if getattr(cfg, key):
+                    lvls = arr
+            if lvls is not None:
+                freqs = np.asarray(view.x_freqs)
+                lvls = np.asarray(lvls)
+                peaks = find_peaks(freqs, lvls, cfg.plt_highs_num_markers,
+                                   cfg.plt_highs_delta4marking)
+                # Console peak list — the reference's headless observability
+                # surface (kspecanal.py:250,260 line shapes, verbatim).
+                delta = cfg.plt_highs_delta4marking * (freqs[-1] - freqs[0])
+                print("PlotHighs: Freqs {} to {} : delta4Marking {} : "
+                      "min {} max {}".format(freqs[0], freqs[-1], delta,
+                                             np.min(lvls), np.max(lvls)))
+                for p in peaks:
+                    print("plotHighs:Marked: {}, {}".format(p.freq, p.level))
         self.renderer(self, view, peaks, iteration, timestamp_str)
 
 
@@ -130,6 +156,12 @@ def run_zero_span(sess: Session, max_iters: Optional[int] = None
         prev = cur
         with sess.timer.stage("acquire", cfg.full_size):
             re, im = sess.source.read(cfg.full_size)
+        if getattr(sess.source, "exhausted", False):
+            # Non-wrapping file source ran dry: finish this (zero-padded)
+            # block then stop, mirroring the replay EOF -> graceful stop
+            # contract (kspecanal.py:559-564).
+            log_warn("zeroSpan: source exhausted; stopping")
+            sess.stop = True
         with sess.timer.stage("dsp", cfg.full_size):
             if sess.mesh is not None and sess.mesh.shape.get("time", 1) > 1:
                 # Sequence-parallel: this capture's sample axis sharded
@@ -197,6 +229,11 @@ def run_zero_span_save(sess: Session, max_iters: Optional[int] = None) -> int:
                 for _ in range(k):
                     blocks.append(sess.source.read(cfg.full_size))
                     stamps.append(time.time())
+                    if getattr(sess.source, "exhausted", False):
+                        log_warn("zeroSpanSave: source exhausted; stopping")
+                        sess.stop = True
+                        k = len(blocks)
+                        break
                 re = jnp.asarray(np.stack([b[0] for b in blocks]))
                 im = jnp.asarray(np.stack([b[1] for b in blocks]))
             with sess.timer.stage("dsp", k * cfg.full_size):
@@ -294,6 +331,10 @@ def run_scan(sess: Session, max_sweeps: Optional[int] = None
         log_dbug(f"scanRange:{i}:{cur - prev}")  # kspecanal.py:723
         prev = cur
         re, im, oks = sweep_bands(sess, plan)
+        if getattr(sess.source, "exhausted", False):
+            log_warn("scanRange: source exhausted; stopping after "
+                     "this sweep")
+            sess.stop = True
         if sess.mesh is not None and sess.mesh.shape.get("band", 1) > 1:
             from kspecanal_tpu.parallel.bandshard import \
                 sweep_step_band_sharded

@@ -1,0 +1,282 @@
+"""Round-2 behavioral fixes: peak-curve selection + PlotHighs console
+prints (kspecanal.py:250,260,485-504), end-of-run hold
+(kspecanal.py:1152-1155), checkpoint fingerprint hardening, source
+exhaustion, display-chain consistency in the stream path, and GUI tests
+that fire REAL matplotlib events instead of calling handlers directly.
+"""
+import dataclasses
+
+import numpy as np
+import pytest
+
+from kspecanal_tpu.config import SpecConfig
+from kspecanal_tpu.io.sources import FileIQSource, SynthIQSource
+
+
+def _mk_cfg(**kw):
+    base = dict(prg_mode="ZEROSPAN", fft_size=128, sampling_rate=2.4e6,
+                x_res=128)
+    base.update(kw)
+    return SpecConfig(**base).finalize()
+
+
+class _CaptureRenderer:
+    """Minimal renderer that records the peaks it was handed."""
+    def __init__(self):
+        self.calls = []
+
+    def __call__(self, sess, view, peaks, iteration, ts):
+        self.calls.append(peaks)
+
+
+# ---------------------------------------------------------------------------
+# plot_highs console prints + last-drawn-curve peak selection
+# ---------------------------------------------------------------------------
+
+def test_plot_highs_console_lines(capsys):
+    """Each rendered frame prints the reference's PlotHighs header and one
+    plotHighs:Marked line per peak (kspecanal.py:250,260)."""
+    from kspecanal_tpu import session as sess_mod
+    cfg = _mk_cfg()
+    src = SynthIQSource(center_freq=cfg.center_freq,
+                        sample_rate=cfg.sampling_rate, seed=3)
+    r = _CaptureRenderer()
+    sess = sess_mod.Session(cfg, src, renderer=r)
+    sess_mod.run_zero_span(sess, max_iters=2)
+    out = capsys.readouterr().out
+    heads = [ln for ln in out.splitlines() if ln.startswith("PlotHighs: ")]
+    marks = [ln for ln in out.splitlines()
+             if ln.startswith("plotHighs:Marked: ")]
+    assert len(heads) == 2
+    # reference line shape: "PlotHighs: Freqs {} to {} : delta4Marking {} :
+    # min {} max {}"
+    assert " to " in heads[0] and ": delta4Marking " in heads[0]
+    assert ": min " in heads[0] and " max " in heads[0]
+    assert len(marks) >= 2  # >=1 peak marked per frame
+    assert len(r.calls) == 2 and len(r.calls[0]) >= 1
+
+
+def test_plot_highs_gated_on_levels_pane(capsys):
+    """bPltLevels false -> plot_highs never runs (kspecanal.py:503-504)."""
+    from kspecanal_tpu import session as sess_mod
+    cfg = _mk_cfg(b_plt_levels=False)
+    src = SynthIQSource(center_freq=cfg.center_freq,
+                        sample_rate=cfg.sampling_rate, seed=3)
+    r = _CaptureRenderer()
+    sess = sess_mod.Session(cfg, src, renderer=r)
+    sess_mod.run_zero_span(sess, max_iters=1)
+    out = capsys.readouterr().out
+    assert "PlotHighs:" not in out
+    assert r.calls == [[]]
+
+
+def test_peaks_use_last_drawn_curve(capsys):
+    """Peaks come from the LAST enabled curve in max/min/avg/cur draw order
+    (kspecanal.py:485-504 fall-through): with cur disabled the marked level
+    must match the avg curve, not the cur curve."""
+    from kspecanal_tpu import session as sess_mod
+    from kspecanal_tpu.models import zerospan as zs
+    cfg = _mk_cfg(b_data_cur=False)
+    src = SynthIQSource(center_freq=cfg.center_freq,
+                        sample_rate=cfg.sampling_rate, seed=7)
+    r = _CaptureRenderer()
+    sess = sess_mod.Session(cfg, src, renderer=r)
+    state = sess_mod.run_zero_span(sess, max_iters=3)
+    assert len(r.calls) == 3
+    peaks = r.calls[-1]
+    # Recompute the avg display curve for the final state
+    from kspecanal_tpu.ops import dsp
+    import jax.numpy as jnp
+    freqs = np.fft.fftshift(
+        np.fft.fftfreq(cfg.fft_size, 1.0 / cfg.sampling_rate)
+        + cfg.center_freq).astype(np.float32)
+    _, avg_l = dsp.compress_xy(jnp.asarray(freqs), state.fft_avg,
+                               cfg.plt_compress, cfg.x_res)
+    avg_l = np.asarray(avg_l)
+    top = max(peaks, key=lambda p: p.level)
+    assert any(abs(top.level - v) < 1e-5 for v in avg_l)
+    # and it is NOT the cur curve's max (cur != avg after 3 iterations)
+    assert not np.allclose(np.asarray(state.fft_cur),
+                           np.asarray(state.fft_avg))
+
+
+# ---------------------------------------------------------------------------
+# GUI: real matplotlib events
+# ---------------------------------------------------------------------------
+
+def _click_axes(fig, ax):
+    """Fire a real button_press/release MouseEvent pair at an axes center
+    through the canvas callback pipeline (no direct handler calls)."""
+    from matplotlib.backend_bases import MouseEvent
+    fig.canvas.draw()
+    x = (ax.bbox.x0 + ax.bbox.x1) / 2
+    y = (ax.bbox.y0 + ax.bbox.y1) / 2
+    for name in ("button_press_event", "button_release_event"):
+        ev = MouseEvent(name, fig.canvas, x, y, 1)
+        fig.canvas.callbacks.process(name, ev)
+
+
+def test_gui_button_click_events():
+    matplotlib = pytest.importorskip("matplotlib")
+    matplotlib.use("Agg", force=True)
+    from kspecanal_tpu.gui import MatplotlibRenderer
+    cfg = _mk_cfg()
+    r = MatplotlibRenderer(cfg, interactive=False)
+    try:
+        assert r.toggles["b_data_min"] is True
+        _click_axes(r.fig, r._buttons["MinLvls"].ax)
+        assert r.toggles["b_data_min"] is False
+        assert "MinLvls[ ]" in r._buttons["MinLvls"].label.get_text()
+        # at-least-one-curve invariant via real clicks (kspecanal.py:983-984)
+        for name in ("MaxLvls", "AvgLvls", "CurLvls"):
+            _click_axes(r.fig, r._buttons[name].ax)
+        assert r.toggles["b_data_avg"] is True
+        # quit via real click
+        _click_axes(r.fig, r._buttons["Quit"].ax)
+        assert r.quit_requested
+        assert r._buttons["Quit"].label.get_text() == "QuitWait"
+    finally:
+        r.close()
+
+
+def test_gui_heatmap_pick_event(caplog):
+    matplotlib = pytest.importorskip("matplotlib")
+    matplotlib.use("Agg", force=True)
+    from matplotlib.backend_bases import MouseEvent
+    from kspecanal_tpu import session as sess_mod
+    from kspecanal_tpu.gui import MatplotlibRenderer
+    cfg = _mk_cfg()
+    r = MatplotlibRenderer(cfg, interactive=False)
+    src = SynthIQSource(center_freq=cfg.center_freq,
+                        sample_rate=cfg.sampling_rate, seed=4)
+    sess = sess_mod.Session(cfg, src, renderer=r)
+    try:
+        sess_mod.run_zero_span(sess, max_iters=1)  # creates the imshow
+        r.fig.canvas.draw()
+        ax = r.ax_heatmap
+        x = (ax.bbox.x0 + ax.bbox.x1) / 2
+        y = (ax.bbox.y0 + ax.bbox.y1) / 2
+        ev = MouseEvent("button_press_event", r.fig.canvas, x, y, 1)
+        # route through the artist's pick machinery -> fires pick_event
+        import logging
+        with caplog.at_level(logging.INFO):
+            r._hm_image.pick(ev)
+        assert any("PickEvent:HeatMap:Freq:" in m for m in caplog.messages)
+        # clicked mid-pane -> ~center frequency
+        lbl = r.ax_heatmap.get_xlabel()
+        assert "ClickedFreq" in lbl
+    finally:
+        r.close()
+
+
+def test_gui_hold_until_key(monkeypatch):
+    matplotlib = pytest.importorskip("matplotlib")
+    matplotlib.use("Agg", force=True)
+    from kspecanal_tpu.gui import MatplotlibRenderer
+    cfg = _mk_cfg()
+    r = MatplotlibRenderer(cfg, interactive=False)
+    prompts = []
+    monkeypatch.setattr("builtins.input", lambda p="": prompts.append(p))
+    try:
+        r.hold_until_key()
+        assert prompts == ["Press any key to quit..."]
+        assert r._buttons["Quit"].label.get_text() == "QuitPress"
+    finally:
+        r.close()
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint fingerprint hardening
+# ---------------------------------------------------------------------------
+
+def test_fingerprint_rejects_math_changes(tmp_path):
+    from kspecanal_tpu.io.state import load_state, save_state
+    from kspecanal_tpu.models import zerospan as zs
+    cfg = _mk_cfg(window="WIN.HANNING", cur_scan_non_overlap=0.5)
+    state = zs.init_state(cfg)
+    p = str(tmp_path / "ck.npz")
+    save_state(p, state, cfg)
+    assert load_state(p, cfg) is not None
+    for change in (dict(window="WIN.ONES"),
+                   dict(cur_scan_non_overlap=0.25),
+                   dict(cur_scan_cumu_mode="MAX")):
+        other = dataclasses.replace(cfg, **change)
+        assert load_state(p, other) is None, change
+
+
+# ---------------------------------------------------------------------------
+# Source exhaustion surfaced to the session loops
+# ---------------------------------------------------------------------------
+
+def _write_capture(tmp_path, n_samples):
+    path = tmp_path / "cap.iq"
+    raw = (np.arange(2 * n_samples) % 251).astype(np.uint8)
+    path.write_bytes(raw.tobytes())
+    return str(path)
+
+
+def test_zero_span_stops_on_exhausted_source(tmp_path):
+    from kspecanal_tpu import session as sess_mod
+    cfg = _mk_cfg()
+    # capture holds exactly 2 blocks; 3rd read exhausts (wrap disabled)
+    path = _write_capture(tmp_path, 2 * cfg.full_size)
+    src = FileIQSource(path, wrap=False)
+    sess = sess_mod.Session(cfg, src)
+    state = sess_mod.run_zero_span(sess, max_iters=50)
+    assert sess.stop
+    # block 1's read drains the file exactly -> exhausted flagged there;
+    # that (complete) block is still processed, then the loop stops
+    assert int(state.iteration) == 2
+
+
+def test_scan_stops_on_exhausted_source(tmp_path):
+    from kspecanal_tpu import session as sess_mod
+    cfg = SpecConfig(prg_mode="SCAN", start_freq=88e6, end_freq=98e6,
+                     fft_size=256, sampling_rate=2.4e6,
+                     x_res=256).finalize()
+    path = _write_capture(tmp_path, 2 * cfg.full_size)
+    src = FileIQSource(path, wrap=False)
+    sess = sess_mod.Session(cfg, src)
+    state = sess_mod.run_scan(sess, max_sweeps=50)
+    assert sess.stop
+    assert int(state.sweep) == 1  # stopped after the sweep that ran dry
+
+
+def test_zero_span_save_stops_on_exhausted_source(tmp_path):
+    from kspecanal_tpu import session as sess_mod
+    cfg = dataclasses.replace(
+        _mk_cfg(), zero_span_save_file=str(tmp_path / "z.save"))
+    path = _write_capture(tmp_path, 3 * cfg.full_size)
+    src = FileIQSource(path, wrap=False)
+    sess = sess_mod.Session(cfg, src)
+    written = sess_mod.run_zero_span_save(sess, max_iters=50)
+    assert sess.stop
+    assert written == 3  # all 3 real blocks recorded, then stop
+
+
+# ---------------------------------------------------------------------------
+# Stream path honors the configured display chain
+# ---------------------------------------------------------------------------
+
+def test_stream_honors_disp_proc_chain(rng):
+    """waterfall_stream with a non-default zero_span_disp_proc matches the
+    serial zero-span step chain (the ADVICE round-1 finding)."""
+    import jax.numpy as jnp
+    from kspecanal_tpu.models import zerospan as zs
+    from kspecanal_tpu.parallel.stream import waterfall_stream
+    cfg = _mk_cfg(zero_span_disp_proc="LogNoGain.HistLowClip",
+                  cur_scan_non_overlap=0.5)
+    t = 4
+    re = rng.standard_normal((t, cfg.full_size)).astype(np.float32)
+    im = rng.standard_normal((t, cfg.full_size)).astype(np.float32)
+    res = waterfall_stream(jnp.asarray(re), jnp.asarray(im), cfg)
+    state = zs.init_state(cfg)
+    for i in range(t):
+        state, _ = zs.zero_span_step_jit(state, jnp.asarray(re[i]),
+                                         jnp.asarray(im[i]), cfg)
+    np.testing.assert_allclose(np.asarray(res.fft_avg),
+                               np.asarray(state.fft_avg), rtol=2e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res.fft_max),
+                               np.asarray(state.fft_max), rtol=2e-5,
+                               atol=1e-5)
