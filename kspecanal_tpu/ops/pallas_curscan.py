@@ -323,14 +323,52 @@ _SUBLANE_N2 = 128
 
 
 def supports_fused_sublane(cfg: SpecConfig) -> bool:
-    """fft_size a multiple of 256 (n1 >= 2) and all window starts
-    128-aligned (uniform hop % 128 == 0)."""
+    """fft_size a multiple of 256 (n1 >= 2).  Window starts may be ANY
+    static offsets: misaligned starts (fractional hops, e.g. the
+    reference-default 90% overlap, kspecanal.py:45,386) are framed
+    in-VMEM via a per-residue lane rotation (see ``_shift_lanes``) —
+    no HBM frame materialization."""
     n = cfg.fft_size
     if n % _SUBLANE_N2 or n // _SUBLANE_N2 < 2:
         return False
     if cfg.full_size % _SUBLANE_N2:
         return False
-    return all(s % _SUBLANE_N2 == 0 for s in cfg.window_starts)
+    return True
+
+
+def _shift_lanes(v, r: int, n2: int):
+    """Sample-shift a ``(rows, n2)`` row-major block view by ``r`` lanes:
+    ``out[a, l] = flat[a*n2 + r + l]`` for a < rows-1.
+
+    This is how a window start ``s = q*n2 + r`` becomes a zero-copy row
+    slice: frame rows are ``out[q : q+n1]``.  One lane ROTATION of the
+    whole block (VPU, in-VMEM) plus a select against the next row — the
+    kernel-side replacement for the XLA gather that ``curscan_fused_framed``
+    pays 10x HBM traffic for at 90% overlap.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+    rolled = pltpu.roll(v, shift=n2 - r, axis=1)   # [a,l] = v[a,(l+r)%n2]
+    lane = jax.lax.broadcasted_iota(
+        jnp.int32, (v.shape[0] - 1, n2), 1)
+    return jnp.where(lane < n2 - r, rolled[:-1], rolled[1:])
+
+
+def _sublane_frames(block, starts, n1: int, n2: int):
+    """All overlapped frames of one IQ block as (n1, n2) row slices.
+
+    ``block`` is the (rows, n2) value of the whole block; aligned starts
+    slice it directly, misaligned starts slice the per-residue rotated
+    views (one rotation per DISTINCT residue — at the reference-default
+    0.1 non-overlap the residues cycle through only 5 values).
+    """
+    residues = sorted({s % n2 for s in starts if s % n2})
+    rot = {r: _shift_lanes(block, r, n2) for r in residues}
+    out = []
+    for s in starts:
+        q, r = divmod(s, n2)
+        src = block if r == 0 else rot[r]
+        out.append(src[q:q + n1, :])
+    return out
 
 
 def _bd_dot_left(dot, f1r, f1i, ar, ai, n1: int, w_cnt: int, cf: int):
@@ -356,75 +394,113 @@ def _bd_dot_left(dot, f1r, f1i, ar, ai, n1: int, w_cnt: int, cf: int):
 
 def _kernel_sublane(re_ref, im_ref, f1bdr_ref, f1bdi_ref, f2tr_ref, f2ti_ref,
                     twr_ref, twi_ref, winr_ref, out_ref, *, cfg: SpecConfig,
-                    weights, t_tile: int, cf: int):
+                    weights, t_tile: int, cf: int, wg: int):
     n = cfg.fft_size
     n2 = _SUBLANE_N2
     n1 = n // n2
     w_cnt = cfg.num_windows
-    wn1 = w_cnt * n1
     adj_scale = win_adj(cfg.window, n) * 2.0 / n
     dot = _make_dot(cfg.tpu_precision)
-    win_t = winr_ref[...]                     # (W*n1, 128) per-frame window
-
-    # Framing: per block, sublane-stack all frames; lane-concat blocks.
-    ab_re, ab_im = [], []
-    for b in range(t_tile):
-        fr = [re_ref[b, s // n2:s // n2 + n1, :] for s in cfg.window_starts]
-        fi = [im_ref[b, s // n2:s // n2 + n1, :] for s in cfg.window_starts]
-        ab_re.append(jnp.concatenate(fr, axis=0) * win_t)   # (W*n1, 128)
-        ab_im.append(jnp.concatenate(fi, axis=0) * win_t)
-    ar = jnp.concatenate(ab_re, axis=1)       # (W*n1, t_tile*128)
-    ai = jnp.concatenate(ab_im, axis=1)
-
-    br, bi = _bd_dot_left(dot, f1bdr_ref[...], f1bdi_ref[...], ar, ai,
-                          n1, w_cnt, cf)
-
-    twr, twi = twr_ref[...], twi_ref[...]     # (W*n1, t_tile*128)
-    cr = br * twr - bi * twi
-    ci = br * twi + bi * twr
-
-    # Stage 2 contracts the lane axis; restack blocks on sublanes so it is
-    # one matmul against the shared (128, 128) F2^T.
-    c2r = jnp.concatenate(
-        [cr[:, b * n2:(b + 1) * n2] for b in range(t_tile)], axis=0)
-    c2i = jnp.concatenate(
-        [ci[:, b * n2:(b + 1) * n2] for b in range(t_tile)], axis=0)
-    f2tr, f2ti = f2tr_ref[...], f2ti_ref[...]
-    dr = dot(c2r, f2tr) - dot(c2i, f2ti)      # (t_tile*W*n1, 128)
-    di = dot(c2i, f2tr) + dot(c2r, f2ti)
-    mag = jnp.sqrt(dr * dr + di * di)
-
+    win_t = winr_ref[...]                     # (wg*n1, 128) per-frame window
     mode = cfg.cur_scan_cumu_mode
+
+    # Per-block views + per-residue lane rotations for misaligned starts,
+    # computed ONCE per grid step (the block stays resident in VMEM).
+    starts = cfg.window_starts
+    residues = sorted({s % n2 for s in starts if s % n2})
+    views = []
     for b in range(t_tile):
-        out_ref[b, :, :] = _cumulate_frames(mode, adj_scale, (
-            (weights[wi] if weights else 0.0,
-             mag[b * wn1 + wi * n1: b * wn1 + (wi + 1) * n1, :])
-            for wi in range(w_cnt)))
+        vr, vi = re_ref[b], im_ref[b]
+        rot_r = {r: _shift_lanes(vr, r, n2) for r in residues}
+        rot_i = {r: _shift_lanes(vi, r, n2) for r in residues}
+        views.append((vr, vi, rot_r, rot_i))
+
+    def frame(b, s):
+        vr, vi, rot_r, rot_i = views[b]
+        q, r = divmod(s, n2)
+        if r == 0:
+            return vr[q:q + n1, :], vi[q:q + n1, :]
+        return rot_r[r][q:q + n1, :], rot_i[r][q:q + n1, :]
+
+    # Window-GROUP loop: wg windows at a time so the stage intermediates
+    # stay inside the VMEM budget at deep overlaps (90% -> 71 windows),
+    # accumulating per-block partial reductions.  One group == the whole
+    # window set for the 50%-overlap configs (no behavior change there).
+    acc = [None] * t_tile
+    for g0 in range(0, w_cnt, wg):
+        gcnt = min(wg, w_cnt - g0)
+        gn1 = gcnt * n1
+        ab_re, ab_im = [], []
+        for b in range(t_tile):
+            frs, fis = zip(*(frame(b, starts[g0 + j]) for j in range(gcnt)))
+            ab_re.append(jnp.concatenate(frs, axis=0) * win_t[:gn1])
+            ab_im.append(jnp.concatenate(fis, axis=0) * win_t[:gn1])
+        ar = jnp.concatenate(ab_re, axis=1)   # (gcnt*n1, t_tile*128)
+        ai = jnp.concatenate(ab_im, axis=1)
+
+        br, bi = _bd_dot_left(dot, f1bdr_ref[...], f1bdi_ref[...], ar, ai,
+                              n1, gcnt, cf)
+
+        twr, twi = twr_ref[...], twi_ref[...]  # (wg*n1, t_tile*128)
+        cr = br * twr[:gn1] - bi * twi[:gn1]
+        ci = br * twi[:gn1] + bi * twr[:gn1]
+
+        # Stage 2 contracts the lane axis; restack blocks on sublanes so it
+        # is one matmul against the shared (128, 128) F2^T.
+        c2r = jnp.concatenate(
+            [cr[:, b * n2:(b + 1) * n2] for b in range(t_tile)], axis=0)
+        c2i = jnp.concatenate(
+            [ci[:, b * n2:(b + 1) * n2] for b in range(t_tile)], axis=0)
+        f2tr, f2ti = f2tr_ref[...], f2ti_ref[...]
+        dr = dot(c2r, f2tr) - dot(c2i, f2ti)  # (t_tile*gcnt*n1, 128)
+        di = dot(c2i, f2tr) + dot(c2r, f2ti)
+        mag = jnp.sqrt(dr * dr + di * di)
+
+        for b in range(t_tile):
+            part = _cumulate_frames(mode, adj_scale, (
+                (weights[g0 + wi] if weights else 0.0,
+                 mag[b * gn1 + wi * n1: b * gn1 + (wi + 1) * n1, :])
+                for wi in range(gcnt)))
+            if acc[b] is None:
+                acc[b] = part
+            elif mode in (CUMU_AVG, CUMU_RAW):
+                acc[b] = acc[b] + part
+            elif mode == CUMU_MAX:
+                acc[b] = jnp.maximum(acc[b], part)
+            else:
+                acc[b] = jnp.minimum(acc[b], part)
+    for b in range(t_tile):
+        out_ref[b, :, :] = acc[b]
 
 
 @functools.lru_cache(maxsize=32)
-def _build_sublane(cfg: SpecConfig, interpret: bool, t_tile: int = 1):
+def _build_sublane(cfg: SpecConfig, interpret: bool, t_tile: int = 1,
+                   wg: int = 0):
     from kspecanal_tpu.ops.mxu_fft import _dft_tables_for
     n = cfg.fft_size
     n2 = _SUBLANE_N2
     n1 = n // n2
     full = cfg.full_size
     w_cnt = cfg.num_windows
+    if wg <= 0:
+        wg = w_cnt
     rows = full // n2
     f1r, f1i, f2r, f2i, twr1, twi1 = _dft_tables_for(n, n1, n2)
     wts = cumu_weights(cfg.cur_scan_cumu_mode, w_cnt)
     weights = (None if wts is None else tuple(float(x) for x in wts))
 
+    # Tables are sized to one window GROUP (wg windows), not the full
+    # window set — deep-overlap configs chunk the window axis in-kernel.
     win_t = jnp.asarray(np.tile(
-        window_lut(cfg.window, n).reshape(n1, n2), (w_cnt, 1)), jnp.float32)
-    # Twiddle: per-frame (n1, n2) tile -> sublane-tile W x lane-tile t_tile
-    twr = jnp.asarray(np.tile(twr1, (w_cnt, t_tile)), jnp.float32)
-    twi = jnp.asarray(np.tile(twi1, (w_cnt, t_tile)), jnp.float32)
+        window_lut(cfg.window, n).reshape(n1, n2), (wg, 1)), jnp.float32)
+    # Twiddle: per-frame (n1, n2) tile -> sublane-tile wg x lane-tile t_tile
+    twr = jnp.asarray(np.tile(twr1, (wg, t_tile)), jnp.float32)
+    twi = jnp.asarray(np.tile(twi1, (wg, t_tile)), jnp.float32)
 
-    wn1 = w_cnt * n1
+    wgn1 = wg * n1
     # Chunked stage-1 block-diag: ONE (cf*n1, cf*n1) chunk table reused
     # across chunks (the diagonal pattern repeats every cf frames).
-    cf = max(1, min(w_cnt, _BD_CHUNK // n1))
+    cf = max(1, min(wg, _BD_CHUNK // n1))
     bd = cf * n1
     f1bdr = np.zeros((bd, bd), np.float32)
     f1bdi = np.zeros((bd, bd), np.float32)
@@ -435,7 +511,7 @@ def _build_sublane(cfg: SpecConfig, interpret: bool, t_tile: int = 1):
     f1shape = (bd, bd)
 
     kernel = functools.partial(_kernel_sublane, cfg=cfg, weights=weights,
-                               t_tile=t_tile, cf=cf)
+                               t_tile=t_tile, cf=cf, wg=wg)
 
     def whole(shape):
         return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
@@ -454,8 +530,8 @@ def _build_sublane(cfg: SpecConfig, interpret: bool, t_tile: int = 1):
                 pl.BlockSpec((t_tile, rows, n2), lambda i: (i, 0, 0)),
                 whole(f1shape), whole(f1shape),
                 whole((n2, n2)), whole((n2, n2)),
-                whole((wn1, t_tile * n2)), whole((wn1, t_tile * n2)),
-                whole((wn1, n2)),
+                whole((wgn1, t_tile * n2)), whole((wgn1, t_tile * n2)),
+                whole((wgn1, n2)),
             ],
             out_specs=pl.BlockSpec((t_tile, n1, n2), lambda i: (i, 0, 0)),
             interpret=interpret,
@@ -473,43 +549,64 @@ def _build_sublane(cfg: SpecConfig, interpret: bool, t_tile: int = 1):
     return jax.jit(call)
 
 
-def _vmem_estimate_sublane(cfg: SpecConfig, t_tile: int) -> int:
+def _vmem_estimate_sublane(cfg: SpecConfig, t_tile: int, wg: int = 0) -> int:
     n = cfg.fft_size
     n2 = _SUBLANE_N2
     n1 = n // n2
     w_cnt = cfg.num_windows
+    if wg <= 0:
+        wg = w_cnt
     rows = cfg.full_size // n2
-    wn1 = w_cnt * n1
+    wgn1 = wg * n1
     inputs = 2 * 2 * t_tile * rows * n2 * 4
-    # ar/ai + br/bi + cr/ci + c2/mag/d live arrays
-    inter = 11 * wn1 * (t_tile * n2) * 4
+    # ar/ai + br/bi + cr/ci + c2/mag/d live arrays (per window group)
+    inter = 11 * wgn1 * (t_tile * n2) * 4
+    # misaligned starts: per-residue rotated block views (2 planes per
+    # block, live across the whole grid step)
+    n_res = len({s % n2 for s in cfg.window_starts if s % n2})
+    inter += n_res * 2 * t_tile * rows * n2 * 4
     if cfg.tpu_precision.upper() == "HIGH":
         inter += inter // 2
-    bd = max(1, min(w_cnt, _BD_CHUNK // n1)) * n1
+    bd = max(1, min(wg, _BD_CHUNK // n1)) * n1
     tables = 2 * bd * bd * 4
-    tables += 2 * n2 * n2 * 4 + 2 * wn1 * t_tile * n2 * 4 + wn1 * n2 * 4
+    tables += 2 * n2 * n2 * 4 + 2 * wgn1 * t_tile * n2 * 4 + wgn1 * n2 * 4
+    # per-block partial accumulators
+    tables += t_tile * n1 * n2 * 4
     return inputs + inter + tables
 
 
-def _auto_t_tile_sublane(cfg: SpecConfig, t: int) -> int:
+def _auto_tiles_sublane(cfg: SpecConfig, t: int):
+    """(t_tile, wg): prefer batching whole blocks with the full window set;
+    deep-overlap configs that cannot fit all windows chunk the window axis
+    instead (wg < num_windows), keeping the read-input-once property."""
     for cand in (16, 8, 4, 2, 1):
         if t % cand == 0 and (_vmem_estimate_sublane(cfg, cand)
                               <= _T_TILE_VMEM_BUDGET):
-            return cand
-    return 1
+            return cand, cfg.num_windows
+    for wg in (32, 16, 8, 4, 2, 1):
+        if wg < cfg.num_windows and (_vmem_estimate_sublane(cfg, 1, wg)
+                                     <= _T_TILE_VMEM_BUDGET):
+            return 1, wg
+    return 1, 1
 
 
 def curscan_fused_sublane(iq_re: jax.Array, iq_im: jax.Array,
-                          cfg: SpecConfig, t_tile: int = 0) -> jax.Array:
+                          cfg: SpecConfig, t_tile: int = 0,
+                          wg: int = 0) -> jax.Array:
     """Sublane-layout fused curscan: (T, full_size) -> (T, fft_size)
     fftshifted linear spectra.  Requires ``supports_fused_sublane(cfg)``."""
     if not supports_fused_sublane(cfg):
         raise ValueError("config not supported by sublane fused kernel")
     t = iq_re.shape[0]
     if t_tile <= 0:
-        t_tile = _auto_t_tile_sublane(cfg, t)
+        auto_t, auto_wg = _auto_tiles_sublane(cfg, t)
+        t_tile = auto_t
+        if wg <= 0:
+            wg = auto_wg
+    elif wg <= 0:
+        wg = cfg.num_windows
     interpret = jax.default_backend() != "tpu"
-    return _build_sublane(cfg, interpret, t_tile)(iq_re, iq_im)
+    return _build_sublane(cfg, interpret, t_tile, wg)(iq_re, iq_im)
 
 
 # ---------------------------------------------------------------------------
