@@ -79,9 +79,12 @@ def _progress(msg):
     print(f"# {msg}", file=sys.stderr, flush=True)
 
 
-def scan_sweep_samples_per_s(iters: int = 10) -> float:
+def scan_sweep_samples_per_s(iters: int = 10, sweeps_per_dispatch: int = 16
+                             ) -> float:
     """FM-scan sweeps (88-108 MHz, scanRangeNonOverlap 0.5): batched band
-    curscans + the jitted overlap-average stitch fold."""
+    curscans + the jitted overlap-average stitch fold, S sweeps per
+    dispatch (models.scan.sweep_steps_jit — one full FM sweep is only
+    ~280 Ksamples, far below the ~2-4 ms dispatch floor's break-even)."""
     import jax
     import jax.numpy as jnp
     from kspecanal_tpu.cli import parse_args
@@ -90,20 +93,21 @@ def scan_sweep_samples_per_s(iters: int = 10) -> float:
     cfg, _ = parse_args(["fmScan", "fftSize", "2048"])
     plan = scan_mod.make_scan_plan(cfg)
     b = plan.num_bands
+    s = sweeps_per_dispatch
     mk = jax.jit(lambda k: jax.random.normal(
-        k, (2, b, cfg.full_size), jnp.float32))
+        k, (2, s, b, cfg.full_size), jnp.float32))
     planes = mk(jax.random.key(0))
     re, im = planes[0], planes[1]
-    oks = jnp.ones(b, bool)
+    oks = jnp.ones((s, b), bool)
     state = scan_mod.init_state(cfg, plan)
-    state = scan_mod.sweep_step_jit(state, re, im, oks, cfg, plan)
+    state = scan_mod.sweep_steps_jit(state, re, im, oks, cfg, plan)
     _ = float(state.fft_avg[0])
     t0 = time.perf_counter()
     for _ in range(iters):
-        state = scan_mod.sweep_step_jit(state, re, im, oks, cfg, plan)
+        state = scan_mod.sweep_steps_jit(state, re, im, oks, cfg, plan)
     _ = float(state.fft_avg[0])
     dt = (time.perf_counter() - t0) / iters
-    return b * cfg.full_size / dt
+    return s * b * cfg.full_size / dt
 
 
 def main():

@@ -44,6 +44,7 @@ class RunOptions:
     profile_dir: str = ""    # jax.profiler trace output directory
     renderer: str = "gui"    # gui | term | none
     state_file: str = ""     # checkpoint/resume .npz (io/state)
+    catch_up: int = 0        # zero-span blocks per dispatch (0/1 = serial)
 
 
 class CliError(ValueError):
@@ -109,6 +110,9 @@ _RUNOPT_KEYMAP = {
     # Checkpoint/resume: snapshot curves + waterfall on exit, resume on
     # start when the file matches the config (io/state.py).
     "TPUSTATEFILE": ("state_file", str),
+    # Batched catch-up: K zero-span blocks per device dispatch (file/synth
+    # sources; 0/1 keeps the serial one-block cadence).
+    "TPUCATCHUP": ("catch_up", int),
 }
 
 
@@ -230,7 +234,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         mesh = make_mesh(time=run.mesh_time, band=run.mesh_band)
 
     sess = sess_mod.Session(cfg, source, renderer, mesh=mesh,
-                            state_file=run.state_file)
+                            state_file=run.state_file,
+                            catch_up=run.catch_up)
 
     def _sigint(signum, stack):  # kspecanal.py:1118-1123
         log_info("sigint: quiting on user request...")

@@ -339,6 +339,32 @@ def sweep_step_jit(state: ScanState, iq_re, iq_im, retune_ok,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "plan"))
+def sweep_steps_jit(state: ScanState, iq_re, iq_im, retune_ok,
+                    cfg: SpecConfig, plan: ScanPlan,
+                    adj=None) -> ScanState:
+    """S sweeps in ONE device program: iq_* (S, num_bands, full_size),
+    retune_ok (S, num_bands).
+
+    All S*num_bands band curscans run as one batched kernel dispatch (the
+    expensive part); the order-dependent stitch folds sweep-by-sweep under
+    ``lax.scan``.  Exactly equivalent to S sequential ``sweep_step_jit``
+    calls — this is how scan mode escapes the ~2-4 ms per-dispatch RPC
+    floor that made one-sweep-per-dispatch measurement-bound (a full FM
+    sweep is only ~280 Ksamples).
+    """
+    s, b = iq_re.shape[:2]
+    spectra = band_spectra(iq_re.reshape(s * b, -1), iq_im.reshape(s * b, -1),
+                           retune_ok.reshape(s * b), cfg)
+    spectra = spectra.reshape(s, b, cfg.fft_size)
+
+    def body(st, sp):
+        return stitch_sweep(st, sp, cfg, plan, adj), None
+
+    state, _ = jax.lax.scan(body, state, spectra)
+    return state
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "plan"))
 def scan_view_jit(state, adj, cfg: SpecConfig, plan: ScanPlan):
     """Jitted ``scan_view``: one device program instead of ~10 eager
     dispatches per rendered sweep (each eager op pays the tunneled-RPC

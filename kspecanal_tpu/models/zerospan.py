@@ -168,7 +168,100 @@ def display_update_adj_jit(state, spectrum_linear, adj, cfg: SpecConfig):
     return display_update(state, spectrum_linear, cfg, adj)
 
 
-# NOTE: batched multi-iteration processing lives in parallel/stream.py
-# (waterfall_stream / waterfall_stream_step), which reproduces this state
-# machine's curves with closed-form reductions instead of a lax.scan of
-# the full display step.
+def zero_span_steps(state: ZeroSpanState, iq_re: jax.Array, iq_im: jax.Array,
+                    cfg: SpecConfig, adj: Optional[jax.Array] = None):
+    """K zero-span iterations in ONE device program (batched catch-up).
+
+    ``iq_*``: (K, full_size).  Exactly equivalent to folding
+    :func:`zero_span_step` K times — the per-iteration curves use the
+    closed-form decay reductions (config.cumu_weights semantics over the
+    dB spectra, kspecanal.py:469-476) and every heatmap ring row is
+    written at its serial index — but with one dispatch instead of K.
+    Returns (state', view-of-last-iteration).
+
+    Used by the session loop for file/synth sources where the ~2-4 ms
+    per-dispatch RPC floor, not the DSP, bounds throughput
+    (``tpuCatchUp K``).
+    """
+    from kspecanal_tpu.ops.spectrum import curscan_auto_batched, psd_welch
+    k = iq_re.shape[0]
+    if cfg.b_use_psd:
+        spec_lin = jax.vmap(lambda r, i: psd_welch(r, i, cfg))(iq_re, iq_im)
+    else:
+        spec_lin = curscan_auto_batched(iq_re, iq_im, cfg)
+    dbs = jax.vmap(lambda s: dsp.fftvals_dispproc(
+        s.astype(jnp.float32), cfg.zero_span_disp_proc,
+        gain=cfg.gain))(spec_lin)
+
+    def fold(cur, mode, enabled, bit):
+        """Seeded-bitmask fold of K spectra into one curve — identical to
+        K sequential display_update cumu() calls."""
+        if not enabled:
+            return cur
+        first = (state.seeded & bit) == 0
+        if mode == "MAX":
+            batch = jnp.max(dbs, axis=0)
+            return jnp.where(first, batch, jnp.maximum(cur, batch))
+        if mode == "MIN":
+            batch = jnp.min(dbs, axis=0)
+            return jnp.where(first, batch, jnp.minimum(cur, batch))
+        # AVG: sequential (a+b)/2 decay.  Seeded: prev*2^-K + sum w_i x_i
+        # with w_i = 2^-(K-i); first-copy: closed-form cumu_weights.
+        from kspecanal_tpu.config import CUMU_AVG, cumu_weights
+        i = np.arange(k)
+        w_cont = jnp.asarray(2.0 ** -(k - i.astype(np.float64)), dbs.dtype)
+        w_first = jnp.asarray(cumu_weights(CUMU_AVG, k), dbs.dtype)
+        seeded_avg = cur * jnp.asarray(2.0 ** -k, dbs.dtype) + \
+            jnp.einsum("t,tf->f", w_cont, dbs)
+        fresh_avg = jnp.einsum("t,tf->f", w_first, dbs)
+        return jnp.where(first, fresh_avg, seeded_avg)
+
+    fft_max = fold(state.fft_max, "MAX", cfg.b_data_max, 1)
+    fft_min = fold(state.fft_min, "MIN", cfg.b_data_min, 2)
+    fft_avg = fold(state.fft_avg, "AVG", cfg.b_data_avg, 4)
+    fft_cur = dbs[-1]
+    seeded = state.seeded | ((1 if cfg.b_data_max else 0)
+                             | (2 if cfg.b_data_min else 0)
+                             | (4 if cfg.b_data_avg else 0))
+
+    disp = dbs if adj is None else dbs - adj[None, :]
+    rows = jax.vmap(
+        lambda d: dsp.compress_1d(d, cfg.plt_compress_hm, cfg.x_res))(disp)
+    ring_idx = (state.hm_index + jnp.arange(k)) % HEATMAP_ROWS
+    heatmap = state.heatmap.at[ring_idx].set(rows)
+    hm_index = (state.hm_index + k) % HEATMAP_ROWS
+
+    if adj is not None:
+        a_max, a_min, a_avg, a_cur = (fft_max - adj, fft_min - adj,
+                                      fft_avg - adj, fft_cur - adj)
+    else:
+        a_max, a_min, a_avg, a_cur = fft_max, fft_min, fft_avg, fft_cur
+    freqs = jnp.asarray(
+        np.fft.fftshift(np.fft.fftfreq(cfg.fft_size, 1.0 / cfg.sampling_rate)
+                        + cfg.center_freq).astype(np.float32))
+    x_freqs, max_l = dsp.compress_xy(freqs, a_max, cfg.plt_compress, cfg.x_res)
+    _, min_l = dsp.compress_xy(freqs, a_min, cfg.plt_compress, cfg.x_res)
+    _, avg_l = dsp.compress_xy(freqs, a_avg, cfg.plt_compress, cfg.x_res)
+    _, cur_l = dsp.compress_xy(freqs, a_cur, cfg.plt_compress, cfg.x_res)
+
+    new_state = ZeroSpanState(fft_max, fft_min, fft_avg, fft_cur, heatmap,
+                              hm_index, state.iteration + k, seeded)
+    view = ZeroSpanView(x_freqs, max_l, min_l, avg_l, cur_l, heatmap,
+                        spec_lin[-1])
+    return new_state, view
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def zero_span_steps_jit(state, iq_re, iq_im, cfg: SpecConfig):
+    return zero_span_steps(state, iq_re, iq_im, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def zero_span_steps_adj_jit(state, iq_re, iq_im, adj, cfg: SpecConfig):
+    return zero_span_steps(state, iq_re, iq_im, cfg, adj)
+
+
+# NOTE: batched multi-iteration processing for STATELESS streams lives in
+# parallel/stream.py (waterfall_stream / waterfall_stream_step);
+# zero_span_steps above is its stateful sibling (seeded bitmask, heatmap
+# ring continuation) used by the session catch-up path.

@@ -179,14 +179,14 @@ def _build(cfg: SpecConfig, interpret: bool, t_tile: int = 1):
     w_cnt = cfg.num_windows
     rows = full // n2
     f1r, f1i, f2r, f2i, twr1, twi1 = _dft_tables(n)
-    win2 = jnp.asarray(
-        window_lut(cfg.window, n).reshape(n1, n2), jnp.float32)
+    win2 = np.asarray(
+        window_lut(cfg.window, n).reshape(n1, n2), np.float32)
     wts = cumu_weights(cfg.cur_scan_cumu_mode, w_cnt)
     weights = (None if wts is None else tuple(float(x) for x in wts))
 
     # Twiddle tiled across all windows of a grid step: (n1, t_tile*W*n2)
-    twr = jnp.asarray(np.tile(twr1, (1, w_cnt * t_tile)), jnp.float32)
-    twi = jnp.asarray(np.tile(twi1, (1, w_cnt * t_tile)), jnp.float32)
+    twr = np.asarray(np.tile(twr1, (1, w_cnt * t_tile)), np.float32)
+    twi = np.asarray(np.tile(twi1, (1, w_cnt * t_tile)), np.float32)
 
     # F2bd[(w*n2 + m), (w*n2 + k2)] = F2[k2, m]: chunked block-diag of
     # F2^T — ONE (cf2*n2)^2 chunk table reused across chunks.
@@ -197,7 +197,7 @@ def _build(cfg: SpecConfig, interpret: bool, t_tile: int = 1):
     for w in range(cf2):
         f2bdr[w * n2:(w + 1) * n2, w * n2:(w + 1) * n2] = f2r.T
         f2bdi[w * n2:(w + 1) * n2, w * n2:(w + 1) * n2] = f2i.T
-    f2a, f2b = jnp.asarray(f2bdr), jnp.asarray(f2bdi)
+    f2a, f2b = f2bdr, f2bdi
     f2shape = (bd, bd)
 
     kernel = functools.partial(_kernel, cfg=cfg, weights=weights,
@@ -232,7 +232,9 @@ def _build(cfg: SpecConfig, interpret: bool, t_tile: int = 1):
                 transcendentals=t * w_cnt * n,
             ),
         )(iq_re.reshape(t, rows, n2), iq_im.reshape(t, rows, n2),
-          jnp.asarray(f1r), jnp.asarray(f1i), f2a, f2b, twr, twi, win2)
+          jnp.asarray(f1r), jnp.asarray(f1i), jnp.asarray(f2a),
+          jnp.asarray(f2b), jnp.asarray(twr), jnp.asarray(twi),
+          jnp.asarray(win2))
         # X[k1 + N1*k2] = acc[k1, k2] -> natural order + fftshift (XLA side;
         # output is tiny next to the IQ input)
         spec = acc.transpose(0, 2, 1).reshape(t, n)
@@ -491,11 +493,11 @@ def _build_sublane(cfg: SpecConfig, interpret: bool, t_tile: int = 1,
 
     # Tables are sized to one window GROUP (wg windows), not the full
     # window set — deep-overlap configs chunk the window axis in-kernel.
-    win_t = jnp.asarray(np.tile(
-        window_lut(cfg.window, n).reshape(n1, n2), (wg, 1)), jnp.float32)
+    win_t = np.asarray(np.tile(
+        window_lut(cfg.window, n).reshape(n1, n2), (wg, 1)), np.float32)
     # Twiddle: per-frame (n1, n2) tile -> sublane-tile wg x lane-tile t_tile
-    twr = jnp.asarray(np.tile(twr1, (wg, t_tile)), jnp.float32)
-    twi = jnp.asarray(np.tile(twi1, (wg, t_tile)), jnp.float32)
+    twr = np.asarray(np.tile(twr1, (wg, t_tile)), np.float32)
+    twi = np.asarray(np.tile(twi1, (wg, t_tile)), np.float32)
 
     wgn1 = wg * n1
     # Chunked stage-1 block-diag: ONE (cf*n1, cf*n1) chunk table reused
@@ -507,7 +509,7 @@ def _build_sublane(cfg: SpecConfig, interpret: bool, t_tile: int = 1,
     for w in range(cf):
         f1bdr[w * n1:(w + 1) * n1, w * n1:(w + 1) * n1] = f1r
         f1bdi[w * n1:(w + 1) * n1, w * n1:(w + 1) * n1] = f1i
-    f1a, f1b = jnp.asarray(f1bdr), jnp.asarray(f1bdi)
+    f1a, f1b = f1bdr, f1bdi
     f1shape = (bd, bd)
 
     kernel = functools.partial(_kernel_sublane, cfg=cfg, weights=weights,
@@ -541,7 +543,9 @@ def _build_sublane(cfg: SpecConfig, interpret: bool, t_tile: int = 1,
                 transcendentals=t * w_cnt * n,
             ),
         )(iq_re.reshape(t, rows, n2), iq_im.reshape(t, rows, n2),
-          f1a, f1b, jnp.asarray(f2r.T), jnp.asarray(f2i.T), twr, twi, win_t)
+          jnp.asarray(f1a), jnp.asarray(f1b), jnp.asarray(f2r.T),
+          jnp.asarray(f2i.T), jnp.asarray(twr), jnp.asarray(twi),
+          jnp.asarray(win_t))
         # X[k1 + N1*k2] = acc[k1, k2] -> natural order + fftshift
         spec = acc.transpose(0, 2, 1).reshape(t, n)
         return jnp.fft.fftshift(spec, axes=-1)
@@ -697,19 +701,19 @@ def _build_framed(cfg: SpecConfig, interpret: bool):
     gather = np.zeros((w_pad, n), np.int32)
     for j, s in enumerate(starts):
         gather[j] = s + np.arange(n, dtype=np.int32)
-    gather_j = jnp.asarray(gather.reshape(w_pad * n1, n2))
+    gather_j = gather.reshape(w_pad * n1, n2)
 
     wts = cumu_weights(cfg.cur_scan_cumu_mode, w_cnt)
     if wts is None:
         wts = np.ones(w_cnt)
     w_tbl = np.zeros((nwg, gw), np.float32)
     w_tbl.ravel()[:w_cnt] = wts
-    w_tbl_j = jnp.asarray(w_tbl)
+    w_tbl_j = w_tbl
 
-    win_t = jnp.asarray(np.tile(
-        window_lut(cfg.window, n).reshape(n1, n2), (gw, 1)), jnp.float32)
-    twr = jnp.asarray(np.tile(twr1, (gw, 1)), jnp.float32)
-    twi = jnp.asarray(np.tile(twi1, (gw, 1)), jnp.float32)
+    win_t = np.asarray(np.tile(
+        window_lut(cfg.window, n).reshape(n1, n2), (gw, 1)), np.float32)
+    twr = np.asarray(np.tile(twr1, (gw, 1)), np.float32)
+    twi = np.asarray(np.tile(twi1, (gw, 1)), np.float32)
 
     cf = max(1, min(gw, _BD_CHUNK // n1))
     bd = cf * n1
@@ -718,7 +722,7 @@ def _build_framed(cfg: SpecConfig, interpret: bool):
     for j in range(cf):
         f1bdr[j * n1:(j + 1) * n1, j * n1:(j + 1) * n1] = f1r
         f1bdi[j * n1:(j + 1) * n1, j * n1:(j + 1) * n1] = f1i
-    f1a, f1b = jnp.asarray(f1bdr), jnp.asarray(f1bdi)
+    f1a, f1b = f1bdr, f1bdi
     f1shape = (bd, bd)
 
     kernel = functools.partial(_kernel_framed, cfg=cfg, gw=gw, n1=n1, cf=cf)
@@ -731,8 +735,8 @@ def _build_framed(cfg: SpecConfig, interpret: bool):
     def call(iq_re, iq_im):
         t = iq_re.shape[0]
         # XLA-side framing: ONE fused gather per plane -> (t, w_pad*n1, n2)
-        a_re = jnp.take(iq_re, gather_j, axis=1)
-        a_im = jnp.take(iq_im, gather_j, axis=1)
+        a_re = jnp.take(iq_re, jnp.asarray(gather_j), axis=1)
+        a_im = jnp.take(iq_im, jnp.asarray(gather_j), axis=1)
         acc = pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((t, n1, n2), jnp.float32),
@@ -753,8 +757,9 @@ def _build_framed(cfg: SpecConfig, interpret: bool):
                 bytes_accessed=t * (w_pad * n * 8 + n * 4),
                 transcendentals=t * w_cnt * n,
             ),
-        )(a_re, a_im, f1a, f1b, jnp.asarray(f2r.T), jnp.asarray(f2i.T),
-          twr, twi, win_t, w_tbl_j)
+        )(a_re, a_im, jnp.asarray(f1a), jnp.asarray(f1b),
+          jnp.asarray(f2r.T), jnp.asarray(f2i.T), jnp.asarray(twr),
+          jnp.asarray(twi), jnp.asarray(win_t), jnp.asarray(w_tbl_j))
         spec = acc.transpose(0, 2, 1).reshape(t, n)
         return jnp.fft.fftshift(spec, axes=-1)
 
@@ -814,15 +819,15 @@ def _build_small(cfg: SpecConfig, interpret: bool, t_tile: int):
     w_cnt = cfg.num_windows
     k = np.arange(n)
     dft = np.exp(-2j * np.pi * np.outer(k, k) / n)
-    frt = jnp.asarray(dft.real.T, jnp.float32)
-    fit = jnp.asarray(dft.imag.T, jnp.float32)
+    frt = np.asarray(dft.real.T, np.float32)
+    fit = np.asarray(dft.imag.T, np.float32)
     wts = cumu_weights(cfg.cur_scan_cumu_mode, w_cnt)
     weights = (None if wts is None else tuple(float(x) for x in wts))
-    win_t = jnp.asarray(np.tile(window_lut(cfg.window, n), (t_tile * w_cnt, 1)),
-                        jnp.float32)
+    win_t = np.asarray(np.tile(window_lut(cfg.window, n), (t_tile * w_cnt, 1)),
+                       np.float32)
     gather = np.asarray(cfg.window_starts, np.int32)[:, None] + \
         np.arange(n, dtype=np.int32)[None, :]
-    gather_j = jnp.asarray(gather)            # (W, n)
+    gather_j = gather                         # (W, n)
 
     kernel = functools.partial(_kernel_small, cfg=cfg, weights=weights,
                                t_tile=t_tile)
@@ -834,9 +839,9 @@ def _build_small(cfg: SpecConfig, interpret: bool, t_tile: int):
         t = iq_re.shape[0]
         assert t % t_tile == 0, (t, t_tile)
         # XLA-side framing gather -> (t, W, n), viewed (t/tt, tt*W, n)
-        a_re = jnp.take(iq_re, gather_j, axis=1).reshape(
+        a_re = jnp.take(iq_re, jnp.asarray(gather_j), axis=1).reshape(
             t // t_tile, t_tile * w_cnt, n)
-        a_im = jnp.take(iq_im, gather_j, axis=1).reshape(
+        a_im = jnp.take(iq_im, jnp.asarray(gather_j), axis=1).reshape(
             t // t_tile, t_tile * w_cnt, n)
         acc = pl.pallas_call(
             kernel,
@@ -855,7 +860,8 @@ def _build_small(cfg: SpecConfig, interpret: bool, t_tile: int):
                 bytes_accessed=t * (w_cnt * n * 8 + n * 4),
                 transcendentals=t * w_cnt * n,
             ),
-        )(a_re, a_im, frt, fit, win_t)
+        )(a_re, a_im, jnp.asarray(frt), jnp.asarray(fit),
+          jnp.asarray(win_t))
         return jnp.fft.fftshift(acc.reshape(t, n), axes=-1)
 
     return jax.jit(call)
@@ -879,3 +885,205 @@ def curscan_fused_small(iq_re: jax.Array, iq_im: jax.Array,
         t_tile = _auto_t_tile_small(cfg, t)
     interpret = jax.default_backend() != "tpu"
     return _build_small(cfg, interpret, t_tile)(iq_re, iq_im)
+
+
+# ---------------------------------------------------------------------------
+# PACKED small-FFT kernel (fft_size <= 128): read-input-once framing.
+#
+# The quickFullScan regime (fftSize 64, kspecanal.py:916-921) is
+# gather/epilogue-bound in both the direct-DFT and the gathered small
+# kernel: the (W, n) frame matrix is ~2-9x the input and round-trips HBM.
+# Here the input block is viewed as (full/128, 128) rows and each 128-lane
+# row packs 128/n frames side by side:
+#
+#   * a window start s maps to (view r, row q, slot c) with
+#     o = s % 128, r = o % n, c = o // n, q = s // 128 — so only
+#     len({s % n}) DISTINCT lane-shifted views of the block are needed
+#     (2 at 50% overlap, ~10 at the reference-default 90%), built in-VMEM
+#     by _shift_lanes.  Every sample is read from HBM exactly once.
+#   * the window LUT and the winAdj*2/N normalization fold INTO the
+#     block-diagonal DFT^T table (both scale linearly through |.|), so
+#     framing costs nothing beyond the shifts.
+#   * slots that correspond to no real window carry weight/mask 0; the
+#     per-window cumulate is a weight-table multiply + row reduction +
+#     one (128, n) fold matmul (AVG/RAW) or masked extrema + lane-rolls
+#     (MAX/MIN).
+# ---------------------------------------------------------------------------
+
+
+def supports_fused_packed(cfg: SpecConfig) -> bool:
+    n = cfg.fft_size
+    return (n <= _SUBLANE_N2 and _SUBLANE_N2 % n == 0
+            and cfg.full_size % _SUBLANE_N2 == 0
+            and cfg.full_size >= 2 * _SUBLANE_N2)
+
+
+def _packed_geometry(cfg: SpecConfig):
+    """(residues, slot table): windows -> (view, row, slot) coordinates."""
+    n = cfg.fft_size
+    residues = sorted({(s % _SUBLANE_N2) % n for s in cfg.window_starts})
+    slots = []
+    for w, s in enumerate(cfg.window_starts):
+        o = s % _SUBLANE_N2
+        slots.append((residues.index(o % n), s // _SUBLANE_N2, o // n, w))
+    return residues, slots
+
+
+def _kernel_packed(re_ref, im_ref, dtr_ref, dti_ref, w_ref, p_ref, out_ref,
+                   *, cfg: SpecConfig, t_tile: int, residues, rows: int):
+    n = cfg.fft_size
+    n2 = _SUBLANE_N2
+    mode = cfg.cur_scan_cumu_mode
+    dot = _make_dot(cfg.tpu_precision)
+    nv = len(residues)
+    tr = t_tile * rows
+
+    def views(ref):
+        # ONE shift per residue over the whole (t_tile*rows, n2) stack.
+        # A shifted row's tail lanes borrow from the NEXT flat row — at a
+        # block boundary that is the next block's data, but those lanes
+        # belong only to slots whose implied frame would cross the block
+        # end, and such slots carry weight/mask 0 (no valid window there).
+        flat = ref[...]                                # (tr, n2) 2-D block
+        out = []
+        for r in residues:
+            if r == 0:
+                out.append(flat)
+            else:
+                padded = jnp.concatenate(
+                    [flat, jnp.zeros((1, n2), flat.dtype)], axis=0)
+                out.append(_shift_lanes(padded, r, n2))
+        return jnp.concatenate(out, axis=0)            # (nv*tr, 128)
+
+    ar = views(re_ref)
+    ai = views(im_ref)
+
+    dtr, dti = dtr_ref[...], dti_ref[...]  # win+scale folded blockdiag D^T
+    dr = dot(ar, dtr) - dot(ai, dti)       # (nv*tr, 128)
+    di = dot(ai, dtr) + dot(ar, dti)
+    mag = jnp.sqrt(dr * dr + di * di)
+
+    wtbl = w_ref[...]                      # (nv*tr, 128) weights/mask
+    if mode in (CUMU_AVG, CUMU_RAW):
+        wm = (mag * wtbl).reshape(nv, t_tile, rows, n2)
+        sums = jnp.sum(wm, axis=(0, 2))                # (t_tile, 128)
+        out_ref[...] = dot(sums, p_ref[...])           # slot-fold (128, n)
+    else:
+        k = n2 // n
+        from jax.experimental.pallas import tpu as pltpu
+        if mode == CUMU_MAX:
+            masked = (mag * wtbl).reshape(nv, t_tile, rows, n2)
+            red = jnp.max(masked, axis=(0, 2))         # (t_tile, 128)
+            for j in range(1, k):
+                red = jnp.maximum(red,
+                                  pltpu.roll(red, shift=n2 - j * n, axis=1))
+            out_ref[...] = red[:, :n]
+        else:
+            big = jnp.float32(3.4e38)
+            masked = jnp.where(wtbl > 0, mag, big).reshape(
+                nv, t_tile, rows, n2)
+            red = jnp.min(masked, axis=(0, 2))
+            for j in range(1, k):
+                red = jnp.minimum(red,
+                                  pltpu.roll(red, shift=n2 - j * n, axis=1))
+            out_ref[...] = red[:, :n]
+
+
+@functools.lru_cache(maxsize=32)
+def _build_packed(cfg: SpecConfig, interpret: bool, t_tile: int):
+    n = cfg.fft_size
+    n2 = _SUBLANE_N2
+    rows = cfg.full_size // n2
+    w_cnt = cfg.num_windows
+    residues, slots = _packed_geometry(cfg)
+    nv = len(residues)
+    rr = nv * rows
+    adj_scale = win_adj(cfg.window, n) * 2.0 / n
+    win = window_lut(cfg.window, n)
+    k = np.arange(n)
+    dft = np.exp(-2j * np.pi * np.outer(k, k) / n)
+    # blockdiag of (win*adj_scale-scaled) D^T, one (n, n) block per slot
+    dtr = np.zeros((n2, n2), np.float32)
+    dti = np.zeros((n2, n2), np.float32)
+    # D^T with the window folded on the INPUT index j:
+    # Dt[j, k] = D[k, j] * win[j] * adj = dft[j, k] * win[j] * adj
+    # (dft = exp(-2pi i jk/n) is symmetric, so no explicit transpose).
+    dt_r = (dft.real * win[:, None] * adj_scale).astype(np.float32)
+    dt_i = (dft.imag * win[:, None] * adj_scale).astype(np.float32)
+    for c in range(n2 // n):
+        dtr[c * n:(c + 1) * n, c * n:(c + 1) * n] = dt_r
+        dti[c * n:(c + 1) * n, c * n:(c + 1) * n] = dt_i
+    # per-slot weight / mask table, pre-tiled over t_tile blocks:
+    # A row layout is (view, block, row)
+    wts = cumu_weights(cfg.cur_scan_cumu_mode, w_cnt)
+    wtbl1 = np.zeros((nv, rows, n2), np.float32)
+    for vi, q, c, w in slots:
+        wtbl1[vi, q, c * n:(c + 1) * n] = 1.0 if wts is None else wts[w]
+    wtbl = np.broadcast_to(wtbl1[:, None, :, :],
+                           (nv, t_tile, rows, n2)).reshape(-1, n2).copy()
+    # slot-fold projector: out[k] = sum_l v[l] * (l % n == k)
+    proj = np.zeros((n2, n), np.float32)
+    for l in range(n2):
+        proj[l, l % n] = 1.0
+
+    kernel = functools.partial(_kernel_packed, cfg=cfg, t_tile=t_tile,
+                               residues=tuple(residues), rows=rows)
+
+    def whole(shape):
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
+
+    def call(iq_re, iq_im):
+        t = iq_re.shape[0]
+        assert t % t_tile == 0, (t, t_tile)
+        # 2-D blocks: a (t_tile, rows=4, 128) block would pad its
+        # 4-sublane middle dim to 8 (2x DMA inflation); the flat
+        # (t_tile*rows, 128) view tiles natively.
+        acc = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((t, n), jnp.float32),
+            grid=(t // t_tile,),
+            in_specs=[
+                pl.BlockSpec((t_tile * rows, n2), lambda i: (i, 0)),
+                pl.BlockSpec((t_tile * rows, n2), lambda i: (i, 0)),
+                whole((n2, n2)), whole((n2, n2)),
+                whole((nv * t_tile * rows, n2)), whole((n2, n)),
+            ],
+            out_specs=pl.BlockSpec((t_tile, n), lambda i: (i, 0)),
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=t * 8 * rr * n2 * n2 // max(1, 1),
+                bytes_accessed=t * (cfg.full_size * 8 + n * 4),
+                transcendentals=t * rr * n2,
+            ),
+        )(iq_re.reshape(t * rows, n2), iq_im.reshape(t * rows, n2),
+          jnp.asarray(dtr), jnp.asarray(dti), jnp.asarray(wtbl),
+          jnp.asarray(proj))
+        return jnp.fft.fftshift(acc, axes=-1)
+
+    return jax.jit(call)
+
+
+def _auto_t_tile_packed(cfg: SpecConfig, t: int) -> int:
+    n2 = _SUBLANE_N2
+    rows = cfg.full_size // n2
+    nv = len({(s % n2) % cfg.fft_size for s in cfg.window_starts})
+    # inputs (2 planes x 2 bufs) + ar/ai/dr/di/mag/wm/wtbl (~9 arrays)
+    per_block = (2 * 2 * rows + 9 * nv * rows) * n2 * 4
+    for cand in (128, 64, 32, 16, 8, 4, 2, 1):
+        if t % cand == 0 and cand * per_block <= _T_TILE_VMEM_BUDGET // 2:
+            return cand
+    return 1
+
+
+def curscan_fused_packed(iq_re: jax.Array, iq_im: jax.Array,
+                         cfg: SpecConfig, t_tile: int = 0) -> jax.Array:
+    """Packed small-FFT curscan: (T, full_size) -> (T, fft_size) fftshifted
+    linear spectra, reading each input sample once.  Requires
+    ``supports_fused_packed(cfg)``."""
+    if not supports_fused_packed(cfg):
+        raise ValueError("config not supported by packed small kernel")
+    t = iq_re.shape[0]
+    if t_tile <= 0:
+        t_tile = _auto_t_tile_packed(cfg, t)
+    interpret = jax.default_backend() != "tpu"
+    return _build_packed(cfg, interpret, t_tile)(iq_re, iq_im)

@@ -37,11 +37,16 @@ class Session:
 
     def __init__(self, cfg: SpecConfig, source: Optional[IQSource] = None,
                  renderer: Optional[Callable] = None, mesh=None,
-                 state_file: str = ""):
+                 state_file: str = "", catch_up: int = 0):
         self.cfg = cfg
         self.source = source
         self.renderer = renderer
         self.mesh = mesh             # optional jax.sharding.Mesh (time, band)
+        # Batched catch-up: blocks per device dispatch in run_zero_span
+        # (tpuCatchUp K) — for file/synth sources where the ~2-4 ms
+        # dispatch RPC, not the DSP, bounds throughput.  Capped at the
+        # heatmap ring depth so every serial ring row still gets written.
+        self.catch_up = max(0, min(int(catch_up), 128))
         self.stop = False            # cmd.stop analog (kspecanal.py:970)
         self.adj: Optional[np.ndarray] = None   # Fft.Adj baseline
         self.final_avg: Optional[np.ndarray] = None
@@ -146,6 +151,8 @@ def run_zero_span(sess: Session, max_iters: Optional[int] = None
     state = sess._resume_state(cfg, "zerospan") or zs.init_state(cfg)
     adj = None if sess.adj is None else jnp.asarray(sess.adj)
     n = cfg.prg_loop_cnt if max_iters is None else max_iters
+    if sess.catch_up > 1 and sess.mesh is None:
+        return _run_zero_span_catchup(sess, state, adj, n)
     prev = time.time()
     for i in range(n):
         if sess.stop:
@@ -188,6 +195,47 @@ def run_zero_span(sess: Session, max_iters: Optional[int] = None
         # buttons mutate shared state mid-loop, kspecanal.py:994-1053; here
         # the config stays immutable per step and a toggle rebuilds the
         # cached jitted step).
+        if sess.renderer is not None and hasattr(sess.renderer,
+                                                 "apply_toggles"):
+            new_cfg = sess.renderer.apply_toggles(cfg)
+            if new_cfg != cfg:
+                cfg = sess.cfg = new_cfg
+    sess.final_avg = np.asarray(state.fft_avg, np.float64)
+    sess._checkpoint_state(state, cfg)
+    return state
+
+
+def _run_zero_span_catchup(sess: Session, state: zs.ZeroSpanState, adj,
+                           n: int) -> zs.ZeroSpanState:
+    """Batched zero-span body: K blocks per device dispatch
+    (``tpuCatchUp K``), emitting the LAST view of each batch.  Curve and
+    heatmap-ring math is exactly the serial fold (zs.zero_span_steps);
+    only the render cadence coarsens to one frame per batch."""
+    cfg = sess.cfg
+    done = 0
+    prev = time.time()
+    while done < n and not sess.stop:
+        k = min(sess.catch_up, n - done)
+        cur = time.time()
+        sess.iter_times.append(cur - prev)
+        log_dbug(f"ZeroSpan:{done}:{cur - prev}")
+        prev = cur
+        with sess.timer.stage("acquire", k * cfg.full_size):
+            blocks = [sess.source.read(cfg.full_size) for _ in range(k)]
+            re = jnp.asarray(np.stack([b[0] for b in blocks]))
+            im = jnp.asarray(np.stack([b[1] for b in blocks]))
+        if getattr(sess.source, "exhausted", False):
+            log_warn("zeroSpan: source exhausted; stopping")
+            sess.stop = True
+        with sess.timer.stage("dsp", k * cfg.full_size):
+            if adj is None:
+                state, view = zs.zero_span_steps_jit(state, re, im, cfg)
+            else:
+                state, view = zs.zero_span_steps_adj_jit(state, re, im, adj,
+                                                         cfg)
+        done += k
+        with sess.timer.stage("render"):
+            sess._emit(view, done - 1)
         if sess.renderer is not None and hasattr(sess.renderer,
                                                  "apply_toggles"):
             new_cfg = sess.renderer.apply_toggles(cfg)
@@ -322,6 +370,9 @@ def run_scan(sess: Session, max_sweeps: Optional[int] = None
     state = sess._resume_state(cfg, "scan") or scan_mod.init_state(cfg, plan)
     adj = None if sess.adj is None else jnp.asarray(sess.adj)
     n = cfg.prg_loop_cnt if max_sweeps is None else max_sweeps
+    if sess.catch_up > 1 and (sess.mesh is None
+                              or sess.mesh.shape.get("band", 1) == 1):
+        return _run_scan_catchup(sess, state, adj, plan, n)
     prev = time.time()
     for i in range(n):
         if sess.stop:
@@ -346,6 +397,38 @@ def run_scan(sess: Session, max_sweeps: Optional[int] = None
         if sess.renderer is not None:
             view = scan_mod.scan_view_jit(state, adj, cfg, plan)
             sess._emit(view, i)
+    sess.final_avg = np.asarray(state.fft_avg, np.float64)
+    sess._checkpoint_state(state, cfg)
+    return state
+
+
+def _run_scan_catchup(sess: Session, state: scan_mod.ScanState, adj,
+                      plan: scan_mod.ScanPlan, n: int) -> scan_mod.ScanState:
+    """Batched scan body: S sweeps per device dispatch (``tpuCatchUp S``),
+    rendering once per batch.  Sweep math is the exact sequential fold
+    (scan_mod.sweep_steps_jit)."""
+    cfg = sess.cfg
+    done = 0
+    prev = time.time()
+    while done < n and not sess.stop:
+        s = min(sess.catch_up, n - done)
+        cur = time.time()
+        sess.iter_times.append(cur - prev)
+        log_dbug(f"scanRange:{done}:{cur - prev}")
+        prev = cur
+        sweeps = [sweep_bands(sess, plan) for _ in range(s)]
+        if getattr(sess.source, "exhausted", False):
+            log_warn("scanRange: source exhausted; stopping after "
+                     "this batch")
+            sess.stop = True
+        re = jnp.stack([x[0] for x in sweeps])
+        im = jnp.stack([x[1] for x in sweeps])
+        oks = jnp.stack([x[2] for x in sweeps])
+        state = scan_mod.sweep_steps_jit(state, re, im, oks, cfg, plan, adj)
+        done += s
+        if sess.renderer is not None:
+            view = scan_mod.scan_view_jit(state, adj, cfg, plan)
+            sess._emit(view, done - 1)
     sess.final_avg = np.asarray(state.fft_avg, np.float64)
     sess._checkpoint_state(state, cfg)
     return state

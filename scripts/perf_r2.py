@@ -116,6 +116,49 @@ def wg_sweep():
         del re, im, planes
 
 
+def small_packed():
+    """Packed read-once small-FFT kernel vs direct DFT vs gathered-small."""
+    import dataclasses
+    from kspecanal_tpu.config import SpecConfig, WINDOW_KAISER
+    from kspecanal_tpu.ops import pallas_curscan as pk
+    from kspecanal_tpu.ops.spectrum import curscan_direct_batched
+
+    print("# packed small-fft kernels (ovl 0.5)", flush=True)
+    for fft, T in [(64, 16384), (128, 8192)]:
+        base = SpecConfig(prg_mode="ZEROSPAN", fft_size=fft,
+                          sampling_rate=2.4e6, window=WINDOW_KAISER,
+                          cur_scan_non_overlap=0.5,
+                          cur_scan_cumu_mode="AVG").finalize()
+        mk = jax.jit(lambda k, full: jax.random.normal(
+            k, (2, T, full), jnp.float32), static_argnums=1)
+        planes = mk(jax.random.key(0), base.full_size)
+        re, im = planes[0], planes[1]
+        for prec in ("HIGHEST", "DEFAULT"):
+            cfg = dataclasses.replace(base, tpu_precision=prec)
+            tt = pk._auto_t_tile_packed(cfg, T)
+            meas(jax.jit(lambda r_, i_: pk.curscan_fused_packed(
+                r_, i_, cfg)), re, im,
+                f"packed fft={fft:4d} {prec:7s} (tt={tt})")
+            out = pk.curscan_fused_packed(re[:2], im[:2], cfg)
+            ref = _oracle_one(np.asarray(re[0]), np.asarray(im[0]), cfg)
+            err = float(np.max(np.abs(np.asarray(out[0]) - ref)
+                               / (np.abs(ref) + 1e-12)))
+            print(f"    max_rel_err={err:.2e}", flush=True)
+            meas(jax.jit(lambda r_, i_: curscan_direct_batched(
+                r_, i_, cfg)), re, im, f"direct fft={fft:4d} {prec:7s}")
+            if pk.supports_fused_small(cfg):
+                meas(jax.jit(lambda r_, i_: pk.curscan_fused_small(
+                    r_, i_, cfg)), re, im, f"smallg fft={fft:4d} {prec:7s}")
+        # packed t_tile sensitivity
+        cfg = dataclasses.replace(base, tpu_precision="HIGHEST")
+        for tt in (32, 64, 128, 256):
+            if T % tt == 0:
+                meas(jax.jit(lambda r_, i_, t=tt: pk.curscan_fused_packed(
+                    r_, i_, cfg, t_tile=t)), re, im,
+                    f"packed fft={fft:4d} HIGHEST tt={tt}")
+        del re, im, planes
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "ovl90"
     print(f"backend: {jax.default_backend()}", flush=True)
@@ -123,3 +166,5 @@ if __name__ == "__main__":
         ovl90()
     elif which == "wg":
         wg_sweep()
+    elif which == "small":
+        small_packed()

@@ -141,10 +141,21 @@ def test_sublane_fused_matches_xla_chain():
         ref = curscan_batched(re, im, cfg)
         got = curscan_fused_sublane(re, im, cfg, t_tile=2)
         np.testing.assert_allclose(got, ref, rtol=5e-5, atol=1e-9)
-    # fractional hop (0.1 nonOverlap -> truncated starts) is NOT supported
+    # fractional hop (0.1 nonOverlap -> truncated, misaligned starts) IS
+    # supported since round 2: frames come from per-residue in-VMEM lane
+    # rotations (pallas_curscan._shift_lanes), no HBM gather.
     frac = SpecConfig(prg_mode="ZEROSPAN", fft_size=2048, sampling_rate=2.4e6,
                       window=WINDOW_KAISER, cur_scan_non_overlap=0.1).finalize()
-    assert not supports_fused_sublane(frac)
+    assert supports_fused_sublane(frac)
+    re = jnp.asarray(rng.standard_normal((2, frac.full_size)), jnp.float32)
+    im = jnp.asarray(rng.standard_normal((2, frac.full_size)), jnp.float32)
+    np.testing.assert_allclose(curscan_fused_sublane(re, im, frac, t_tile=1),
+                               curscan_batched(re, im, frac),
+                               rtol=5e-5, atol=1e-9)
+    # and the in-kernel window-group chunking is exact (wg < num_windows)
+    np.testing.assert_allclose(
+        curscan_fused_sublane(re, im, frac, t_tile=1, wg=8),
+        curscan_batched(re, im, frac), rtol=5e-5, atol=1e-9)
 
 
 def test_framed_fused_fractional_hop():
@@ -190,8 +201,8 @@ def test_fused_choice_table():
     assert _fused_choice(cfg(4096, "DEFAULT")) == "sublane"
     assert _fused_choice(cfg(16384, "HIGHEST")) == "lane"
     assert _fused_choice(cfg(16384, "HIGH")) == "sublane"
-    # fractional hop: no aligned layout applies
-    assert _fused_choice(cfg(2048, nono=0.1)) is None
+    # fractional hop: the rolled sublane framing applies (round 2)
+    assert _fused_choice(cfg(2048, nono=0.1)) == "sublane"
     # 64 is not 128-divisible -> no sublane; lane needs >= 2048
     assert _fused_choice(cfg(64)) is None
 

@@ -280,3 +280,140 @@ def test_stream_honors_disp_proc_chain(rng):
     np.testing.assert_allclose(np.asarray(res.fft_max),
                                np.asarray(state.fft_max), rtol=2e-5,
                                atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Batched catch-up mode (tpuCatchUp)
+# ---------------------------------------------------------------------------
+
+def test_catchup_matches_serial(tmp_path):
+    """run_zero_span with catch_up=K produces the exact serial state —
+    curves, seeded bitmask, and every heatmap ring row at its serial
+    index — for the same file source data."""
+    from kspecanal_tpu import session as sess_mod
+    cfg = _mk_cfg(cur_scan_non_overlap=0.5)
+    path = _write_capture(tmp_path, 4 * cfg.full_size)
+    n_iters = 11  # exercises a ragged final batch (11 = 2*4 + 3)
+    serial = sess_mod.Session(cfg, FileIQSource(path))
+    st_serial = sess_mod.run_zero_span(serial, max_iters=n_iters)
+    batched = sess_mod.Session(cfg, FileIQSource(path), catch_up=4)
+    st_batch = sess_mod.run_zero_span(batched, max_iters=n_iters)
+    assert int(st_batch.iteration) == n_iters
+    for f in st_serial._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(st_batch, f)),
+            np.asarray(getattr(st_serial, f)), rtol=2e-5, atol=2e-5,
+            err_msg=f)
+
+
+def test_catchup_with_adj_and_resume(tmp_path):
+    """Catch-up composes with the baseline adjust and a seeded (resumed)
+    state: a second catch-up run continues the decay exactly like two
+    serial runs."""
+    import jax.numpy as jnp
+    from kspecanal_tpu.models import zerospan as zs
+    cfg = _mk_cfg(cur_scan_non_overlap=0.5)
+    rng = np.random.default_rng(5)
+    re = rng.standard_normal((6, cfg.full_size)).astype(np.float32)
+    im = rng.standard_normal((6, cfg.full_size)).astype(np.float32)
+    adj = rng.standard_normal(cfg.fft_size).astype(np.float32)
+    # serial: 6 steps
+    st = zs.init_state(cfg)
+    for i in range(6):
+        st, view_s = zs.zero_span_step_adj_jit(
+            st, jnp.asarray(re[i]), jnp.asarray(im[i]), jnp.asarray(adj),
+            cfg)
+    # batched: 3 + 3 (second batch starts from a seeded state)
+    sb = zs.init_state(cfg)
+    sb, _ = zs.zero_span_steps_adj_jit(sb, jnp.asarray(re[:3]),
+                                       jnp.asarray(im[:3]),
+                                       jnp.asarray(adj), cfg)
+    sb, view_b = zs.zero_span_steps_adj_jit(sb, jnp.asarray(re[3:]),
+                                            jnp.asarray(im[3:]),
+                                            jnp.asarray(adj), cfg)
+    for f in st._fields:
+        np.testing.assert_allclose(np.asarray(getattr(sb, f)),
+                                   np.asarray(getattr(st, f)),
+                                   rtol=2e-5, atol=2e-5, err_msg=f)
+    for f in ("cur_lvls", "max_lvls", "min_lvls", "avg_lvls"):
+        np.testing.assert_allclose(np.asarray(getattr(view_b, f)),
+                                   np.asarray(getattr(view_s, f)),
+                                   rtol=2e-5, atol=2e-5, err_msg=f)
+
+
+# ---------------------------------------------------------------------------
+# Multi-sweep scan batching + packed small-FFT kernel
+# ---------------------------------------------------------------------------
+
+def test_sweep_steps_matches_sequential():
+    """sweep_steps_jit (S sweeps per dispatch) == S sweep_step_jit calls,
+    including the first-sweep seeding and the heatmap ring."""
+    import jax.numpy as jnp
+    from kspecanal_tpu.models import scan as scan_mod
+    cfg = SpecConfig(prg_mode="SCAN", start_freq=88e6, end_freq=96e6,
+                     fft_size=256, sampling_rate=2e6, x_res=256,
+                     cur_scan_non_overlap=0.5).finalize()
+    plan = scan_mod.make_scan_plan(cfg)
+    b = plan.num_bands
+    rng = np.random.default_rng(3)
+    s = 3
+    re = rng.standard_normal((s, b, cfg.full_size)).astype(np.float32)
+    im = rng.standard_normal((s, b, cfg.full_size)).astype(np.float32)
+    oks = np.ones((s, b), bool)
+    oks[1, 2] = False  # sentinel band inside the batch
+    st_seq = scan_mod.init_state(cfg, plan)
+    for i in range(s):
+        st_seq = scan_mod.sweep_step_jit(st_seq, jnp.asarray(re[i]),
+                                         jnp.asarray(im[i]),
+                                         jnp.asarray(oks[i]), cfg, plan)
+    st_bat = scan_mod.init_state(cfg, plan)
+    st_bat = scan_mod.sweep_steps_jit(st_bat, jnp.asarray(re),
+                                      jnp.asarray(im), jnp.asarray(oks),
+                                      cfg, plan)
+    for f in st_seq._fields:
+        np.testing.assert_allclose(np.asarray(getattr(st_bat, f)),
+                                   np.asarray(getattr(st_seq, f)),
+                                   rtol=2e-5, atol=2e-5, err_msg=f)
+
+
+def test_packed_small_kernel_matches_chain():
+    """Packed read-once small-FFT kernel vs the XLA chain: every cumulate
+    mode, aligned and fractional hops, both tiny sizes."""
+    import jax.numpy as jnp
+    from kspecanal_tpu.config import WINDOW_KAISER
+    from kspecanal_tpu.ops.pallas_curscan import (curscan_fused_packed,
+                                                  supports_fused_packed)
+    from kspecanal_tpu.ops.spectrum import curscan_batched
+    rng = np.random.default_rng(17)
+    for fft, nono, mode in [(64, 0.5, "AVG"), (64, 0.1, "AVG"),
+                            (128, 0.5, "MAX"), (64, 0.5, "MIN"),
+                            (32, 0.25, "RAW"), (64, 1.0, "AVG")]:
+        cfg = SpecConfig(prg_mode="ZEROSPAN", fft_size=fft,
+                         sampling_rate=2.4e6, window=WINDOW_KAISER,
+                         cur_scan_non_overlap=nono,
+                         cur_scan_cumu_mode=mode, x_res=fft).finalize()
+        assert supports_fused_packed(cfg), (fft, nono)
+        re = jnp.asarray(rng.standard_normal((4, cfg.full_size)), jnp.float32)
+        im = jnp.asarray(rng.standard_normal((4, cfg.full_size)), jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(curscan_fused_packed(re, im, cfg, t_tile=2)),
+            np.asarray(curscan_batched(re, im, cfg)),
+            rtol=5e-5, atol=1e-7, err_msg=f"{fft}/{nono}/{mode}")
+
+
+def test_scan_catchup_matches_serial(tmp_path):
+    """run_scan with catch_up=S equals the serial per-sweep session."""
+    from kspecanal_tpu import session as sess_mod
+    cfg = SpecConfig(prg_mode="SCAN", start_freq=88e6, end_freq=94e6,
+                     fft_size=256, sampling_rate=2e6, x_res=256,
+                     cur_scan_non_overlap=0.5).finalize()
+    path = _write_capture(tmp_path, 64 * cfg.full_size)
+    serial = sess_mod.Session(cfg, FileIQSource(path))
+    st_serial = sess_mod.run_scan(serial, max_sweeps=5)
+    batched = sess_mod.Session(cfg, FileIQSource(path), catch_up=2)
+    st_batch = sess_mod.run_scan(batched, max_sweeps=5)
+    assert int(st_batch.sweep) == 5
+    for f in st_serial._fields:
+        np.testing.assert_allclose(np.asarray(getattr(st_batch, f)),
+                                   np.asarray(getattr(st_serial, f)),
+                                   rtol=2e-5, atol=2e-5, err_msg=f)
