@@ -206,11 +206,18 @@ def main(argv: Optional[List[str]] = None) -> int:
     cfg, run = parse_args(sys.argv[1:] if argv is None else argv)
     print_info(cfg)
     source = None
+    sweep_prefetch = False
     if cfg.prg_mode != MODE_ZEROSPANPLAY:
         source = make_source(cfg, run)
         if run.prefetch:
-            from kspecanal_tpu.io.prefetch import PrefetchingSource
-            source = PrefetchingSource(source, block_size=cfg.full_size)
+            if cfg.prg_mode == MODE_SCAN:
+                # Per-block prefetch is useless under per-band retunes
+                # (every retune flushes the queue); scan mode reads ahead
+                # at whole-sweep granularity instead (SweepPrefetcher).
+                sweep_prefetch = True
+            else:
+                from kspecanal_tpu.io.prefetch import PrefetchingSource
+                source = PrefetchingSource(source, block_size=cfg.full_size)
 
     renderer = None
     if run.renderer == "term":
@@ -235,7 +242,8 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     sess = sess_mod.Session(cfg, source, renderer, mesh=mesh,
                             state_file=run.state_file,
-                            catch_up=run.catch_up)
+                            catch_up=run.catch_up,
+                            sweep_prefetch=sweep_prefetch)
 
     def _sigint(signum, stack):  # kspecanal.py:1118-1123
         log_info("sigint: quiting on user request...")

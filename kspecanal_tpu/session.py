@@ -37,7 +37,8 @@ class Session:
 
     def __init__(self, cfg: SpecConfig, source: Optional[IQSource] = None,
                  renderer: Optional[Callable] = None, mesh=None,
-                 state_file: str = "", catch_up: int = 0):
+                 state_file: str = "", catch_up: int = 0,
+                 sweep_prefetch: bool = False):
         self.cfg = cfg
         self.source = source
         self.renderer = renderer
@@ -47,6 +48,9 @@ class Session:
         # dispatch RPC, not the DSP, bounds throughput.  Capped at the
         # heatmap ring depth so every serial ring row still gets written.
         self.catch_up = max(0, min(int(catch_up), 128))
+        # Scan mode: acquire sweep k+1 on a worker thread while sweep k's
+        # device step is in flight (io/prefetch.SweepPrefetcher).
+        self.sweep_prefetch = bool(sweep_prefetch)
         self.stop = False            # cmd.stop analog (kspecanal.py:970)
         self.adj: Optional[np.ndarray] = None   # Fft.Adj baseline
         self.final_avg: Optional[np.ndarray] = None
@@ -342,15 +346,19 @@ def run_zero_span_play(sess: Session, max_iters: Optional[int] = None
 # Scan (kspecanal.py:568-732)
 # ---------------------------------------------------------------------------
 
-def sweep_bands(sess: Session, plan: scan_mod.ScanPlan):
-    """Acquire one sweep's IQ: retune per band, read full_size samples,
-    record retune success (sentinel semantics, kspecanal.py:630-639)."""
-    cfg = sess.cfg
+def acquire_sweep(source: IQSource, cfg: SpecConfig,
+                  plan: scan_mod.ScanPlan):
+    """Acquire one sweep's IQ on the host: retune per band, read full_size
+    samples, record retune success (sentinel semantics,
+    kspecanal.py:630-639).  Returns numpy stacks
+    ``(re (B, full), im, oks (B,), exhausted)`` — numpy so the sweep can be
+    produced on a read-ahead thread (io/prefetch.SweepPrefetcher) without
+    touching the device."""
     res, ims, oks = [], [], []
     for b in plan.bands:
-        ok = sess.source.retune(b.center_freq, cfg.sampling_rate, cfg.gain)
+        ok = source.retune(b.center_freq, cfg.sampling_rate, cfg.gain)
         if ok:
-            re, im = sess.source.read(cfg.full_size)
+            re, im = source.read(cfg.full_size)
         else:
             log_warn(f"_scanRange: Dummy data for "
                      f"{b.center_freq - cfg.sampling_rate/2} to "
@@ -358,8 +366,14 @@ def sweep_bands(sess: Session, plan: scan_mod.ScanPlan):
             re = np.zeros(cfg.full_size, np.float32)
             im = np.zeros(cfg.full_size, np.float32)
         res.append(re); ims.append(im); oks.append(ok)
-    return (jnp.asarray(np.stack(res)), jnp.asarray(np.stack(ims)),
-            jnp.asarray(np.asarray(oks)))
+    return (np.stack(res), np.stack(ims), np.asarray(oks),
+            bool(getattr(source, "exhausted", False)))
+
+
+def sweep_bands(sess: Session, plan: scan_mod.ScanPlan):
+    """One sweep as device arrays (see :func:`acquire_sweep`)."""
+    re, im, oks, _ = acquire_sweep(sess.source, sess.cfg, plan)
+    return jnp.asarray(re), jnp.asarray(im), jnp.asarray(oks)
 
 
 def run_scan(sess: Session, max_sweeps: Optional[int] = None
@@ -373,6 +387,20 @@ def run_scan(sess: Session, max_sweeps: Optional[int] = None
     if sess.catch_up > 1 and (sess.mesh is None
                               or sess.mesh.shape.get("band", 1) == 1):
         return _run_scan_catchup(sess, state, adj, plan, n)
+    pf = None
+    if sess.sweep_prefetch:
+        from kspecanal_tpu.io.prefetch import SweepPrefetcher
+        pf = SweepPrefetcher(sess.source, cfg, plan)
+    try:
+        return _run_scan_loop(sess, state, adj, plan, n, pf)
+    finally:
+        if pf is not None:
+            pf.close()
+
+
+def _run_scan_loop(sess: Session, state, adj, plan: scan_mod.ScanPlan,
+                   n: int, pf) -> scan_mod.ScanState:
+    cfg = sess.cfg
     prev = time.time()
     for i in range(n):
         if sess.stop:
@@ -381,8 +409,15 @@ def run_scan(sess: Session, max_sweeps: Optional[int] = None
         sess.iter_times.append(cur - prev)
         log_dbug(f"scanRange:{i}:{cur - prev}")  # kspecanal.py:723
         prev = cur
-        re, im, oks = sweep_bands(sess, plan)
-        if getattr(sess.source, "exhausted", False):
+        with sess.timer.stage("acquire", plan.num_bands * cfg.full_size):
+            if pf is not None:
+                re_np, im_np, oks_np, exhausted = pf.get()
+                re, im, oks = (jnp.asarray(re_np), jnp.asarray(im_np),
+                               jnp.asarray(oks_np))
+            else:
+                re, im, oks = sweep_bands(sess, plan)
+                exhausted = bool(getattr(sess.source, "exhausted", False))
+        if exhausted:
             log_warn("scanRange: source exhausted; stopping after "
                      "this sweep")
             sess.stop = True
@@ -406,29 +441,49 @@ def _run_scan_catchup(sess: Session, state: scan_mod.ScanState, adj,
                       plan: scan_mod.ScanPlan, n: int) -> scan_mod.ScanState:
     """Batched scan body: S sweeps per device dispatch (``tpuCatchUp S``),
     rendering once per batch.  Sweep math is the exact sequential fold
-    (scan_mod.sweep_steps_jit)."""
+    (scan_mod.sweep_steps_jit).  With ``tpuPrefetch`` the sweeps of batch
+    k+1 acquire on the read-ahead thread while batch k computes."""
     cfg = sess.cfg
+    pf = None
+    if sess.sweep_prefetch:
+        from kspecanal_tpu.io.prefetch import SweepPrefetcher
+        pf = SweepPrefetcher(sess.source, cfg, plan,
+                             depth=max(2, sess.catch_up))
     done = 0
     prev = time.time()
-    while done < n and not sess.stop:
-        s = min(sess.catch_up, n - done)
-        cur = time.time()
-        sess.iter_times.append(cur - prev)
-        log_dbug(f"scanRange:{done}:{cur - prev}")
-        prev = cur
-        sweeps = [sweep_bands(sess, plan) for _ in range(s)]
-        if getattr(sess.source, "exhausted", False):
-            log_warn("scanRange: source exhausted; stopping after "
-                     "this batch")
-            sess.stop = True
-        re = jnp.stack([x[0] for x in sweeps])
-        im = jnp.stack([x[1] for x in sweeps])
-        oks = jnp.stack([x[2] for x in sweeps])
-        state = scan_mod.sweep_steps_jit(state, re, im, oks, cfg, plan, adj)
-        done += s
-        if sess.renderer is not None:
-            view = scan_mod.scan_view_jit(state, adj, cfg, plan)
-            sess._emit(view, done - 1)
+    try:
+        while done < n and not sess.stop:
+            s = min(sess.catch_up, n - done)
+            cur = time.time()
+            sess.iter_times.append(cur - prev)
+            log_dbug(f"scanRange:{done}:{cur - prev}")
+            prev = cur
+            with sess.timer.stage("acquire",
+                                  s * plan.num_bands * cfg.full_size):
+                if pf is not None:
+                    sweeps = [pf.get() for _ in range(s)]
+                    exhausted = any(x[3] for x in sweeps)
+                else:
+                    sweeps = [acquire_sweep(sess.source, cfg, plan)
+                              for _ in range(s)]
+                    exhausted = bool(getattr(sess.source, "exhausted",
+                                             False))
+            if exhausted:
+                log_warn("scanRange: source exhausted; stopping after "
+                         "this batch")
+                sess.stop = True
+            re = jnp.asarray(np.stack([x[0] for x in sweeps]))
+            im = jnp.asarray(np.stack([x[1] for x in sweeps]))
+            oks = jnp.asarray(np.stack([x[2] for x in sweeps]))
+            state = scan_mod.sweep_steps_jit(state, re, im, oks, cfg, plan,
+                                             adj)
+            done += s
+            if sess.renderer is not None:
+                view = scan_mod.scan_view_jit(state, adj, cfg, plan)
+                sess._emit(view, done - 1)
+    finally:
+        if pf is not None:
+            pf.close()
     sess.final_avg = np.asarray(state.fft_avg, np.float64)
     sess._checkpoint_state(state, cfg)
     return state

@@ -417,3 +417,62 @@ def test_scan_catchup_matches_serial(tmp_path):
         np.testing.assert_allclose(np.asarray(getattr(st_batch, f)),
                                    np.asarray(getattr(st_serial, f)),
                                    rtol=2e-5, atol=2e-5, err_msg=f)
+
+
+def test_scan_sweep_prefetch_matches_serial(tmp_path):
+    """Sweep-level read-ahead (io/prefetch.SweepPrefetcher) produces the
+    exact same scan state as the serial driver: the worker performs the
+    identical retune/read walk, only overlapped with device compute."""
+    from kspecanal_tpu import session as sess_mod
+    cfg = SpecConfig(prg_mode="SCAN", start_freq=88e6, end_freq=94e6,
+                     fft_size=256, sampling_rate=2e6, x_res=256,
+                     cur_scan_non_overlap=0.5).finalize()
+    path = _write_capture(tmp_path, 64 * cfg.full_size)
+    serial = sess_mod.Session(cfg, FileIQSource(path))
+    st_serial = sess_mod.run_scan(serial, max_sweeps=4)
+    pre = sess_mod.Session(cfg, FileIQSource(path), sweep_prefetch=True)
+    st_pre = sess_mod.run_scan(pre, max_sweeps=4)
+    assert int(st_pre.sweep) == 4
+    for f in st_serial._fields:
+        np.testing.assert_allclose(np.asarray(getattr(st_pre, f)),
+                                   np.asarray(getattr(st_serial, f)),
+                                   rtol=2e-5, atol=2e-5, err_msg=f)
+
+
+def test_scan_catchup_with_prefetch_matches(tmp_path):
+    """catch_up=S + sweep prefetch == serial (batched fold, read-ahead
+    acquisition)."""
+    from kspecanal_tpu import session as sess_mod
+    cfg = SpecConfig(prg_mode="SCAN", start_freq=88e6, end_freq=92e6,
+                     fft_size=256, sampling_rate=2e6, x_res=256,
+                     cur_scan_non_overlap=0.5).finalize()
+    path = _write_capture(tmp_path, 64 * cfg.full_size)
+    serial = sess_mod.Session(cfg, FileIQSource(path))
+    st_serial = sess_mod.run_scan(serial, max_sweeps=5)
+    both = sess_mod.Session(cfg, FileIQSource(path), catch_up=2,
+                            sweep_prefetch=True)
+    st_both = sess_mod.run_scan(both, max_sweeps=5)
+    assert int(st_both.sweep) == 5
+    for f in st_serial._fields:
+        np.testing.assert_allclose(np.asarray(getattr(st_both, f)),
+                                   np.asarray(getattr(st_serial, f)),
+                                   rtol=2e-5, atol=2e-5, err_msg=f)
+
+
+def test_scan_sweep_prefetch_exhaustion_stops(tmp_path):
+    """A non-wrapping file source running dry stops the prefetched scan
+    loop gracefully (the worker forwards the exhausted flag with the
+    final sweep and shuts down)."""
+    from kspecanal_tpu import session as sess_mod
+    cfg = SpecConfig(prg_mode="SCAN", start_freq=88e6, end_freq=92e6,
+                     fft_size=256, sampling_rate=2e6, x_res=256,
+                     cur_scan_non_overlap=0.5).finalize()
+    plan = sess_mod.make_plan_cached(cfg)
+    # enough for ~1.5 sweeps only
+    path = _write_capture(
+        tmp_path, plan.num_bands * cfg.full_size + cfg.full_size)
+    sess = sess_mod.Session(cfg, FileIQSource(path, wrap=False),
+                            sweep_prefetch=True)
+    state = sess_mod.run_scan(sess, max_sweeps=50)
+    assert sess.stop
+    assert int(state.sweep) < 50
