@@ -171,6 +171,85 @@ def curscan_direct_batched(iq_re: jax.Array, iq_im: jax.Array,
     return jax.vmap(one)(iq_re, iq_im)
 
 
+def curscan_small_views(iq_re: jax.Array, iq_im: jax.Array,
+                        cfg: SpecConfig) -> jax.Array:
+    """Small-FFT curscan with ZERO-GATHER framing (quickFullScan regime,
+    kspecanal.py:916-921).
+
+    Every window start ``s`` decomposes as ``s = r + n*q`` with residue
+    ``r = s % n``; all frames sharing a residue are consecutive rows of the
+    slice-view ``x[r:].reshape(-1, n)``.  The handful of distinct residues
+    (2 at 50% overlap, ~10 at the reference-default truncated hop) cost one
+    slice+reshape each — free under XLA fusion — instead of the per-sample
+    gather that bounds ``curscan_direct_batched``.  ALL rows of every view
+    are DFT'd (one wide MXU matmul); rows that correspond to no real window
+    fold away in the weighted reduce (weight 0 for AVG/RAW, masked for
+    MAX/MIN) — a few percent of wasted FLOPs in exchange for a chain with
+    no data movement at all before the matmul.
+    """
+    n = cfg.fft_size
+    full = cfg.full_size
+    starts = cfg.window_starts
+    w_cnt = cfg.num_windows
+    t = iq_re.shape[0]
+    residues = sorted({s % n for s in starts})
+    rows_per = {r: (full - r) // n for r in residues}
+    # (view, row) -> window index (or None)
+    wts = cumu_weights(cfg.cur_scan_cumu_mode, w_cnt)
+    frame_w = []      # weight per (view, row) in concat order
+    frame_m = []      # 1.0 where a real window lives, else 0.0
+    for r in residues:
+        w_of_row = {}
+        for wi, s in enumerate(starts):
+            if s % n == r:
+                w_of_row[(s - r) // n] = wi
+        for q in range(rows_per[r]):
+            wi = w_of_row.get(q)
+            frame_m.append(0.0 if wi is None else 1.0)
+            frame_w.append(0.0 if wi is None else
+                           (1.0 if wts is None else float(wts[wi])))
+    f_cnt = len(frame_w)
+
+    k = np.arange(n)
+    dft = np.exp(-2j * np.pi * np.outer(k, k) / n)
+    win = window_lut(cfg.window, n)
+    adj = win_adj(cfg.window, n) * 2.0 / n
+    # window (+ overall scale) folded into the DFT table on the input index
+    frt = jnp.asarray(dft.real * win[:, None] * adj, jnp.float32)
+    fit = jnp.asarray(dft.imag * win[:, None] * adj, jnp.float32)
+
+    views_re, views_im = [], []
+    for r in residues:
+        span = rows_per[r] * n
+        views_re.append(jax.lax.slice_in_dim(
+            iq_re, r, r + span, axis=1).reshape(t, -1, n))
+        views_im.append(jax.lax.slice_in_dim(
+            iq_im, r, r + span, axis=1).reshape(t, -1, n))
+    ar = jnp.concatenate(views_re, axis=1).reshape(t * f_cnt, n)
+    ai = jnp.concatenate(views_im, axis=1).reshape(t * f_cnt, n)
+
+    from kspecanal_tpu.ops.mxu_fft import matmul_precision
+    prec = matmul_precision(cfg.tpu_precision)
+    dot = functools.partial(jnp.dot, precision=prec,
+                            preferred_element_type=jnp.float32)
+    xr = dot(ar, frt) - dot(ai, fit)
+    xi = dot(ai, frt) + dot(ar, fit)
+    mag = jnp.sqrt(xr * xr + xi * xi).reshape(t, f_cnt, n)
+
+    mode = cfg.cur_scan_cumu_mode
+    if wts is not None:          # AVG / RAW: weighted sum over frames
+        spec = jnp.einsum("tfn,f->tn", mag,
+                          jnp.asarray(frame_w, jnp.float32))
+    else:
+        mask = jnp.asarray(frame_m, jnp.float32)[None, :, None] > 0
+        from kspecanal_tpu.config import CUMU_MAX
+        if mode == CUMU_MAX:
+            spec = jnp.max(jnp.where(mask, mag, -jnp.inf), axis=1)
+        else:
+            spec = jnp.min(jnp.where(mask, mag, jnp.inf), axis=1)
+    return jnp.fft.fftshift(spec, axes=-1)
+
+
 def _fused_choice(cfg: SpecConfig) -> Optional[str]:
     """Pick the fused-kernel layout for this (fft_size, precision) cell
     from the hardware-measured table (scripts/perf_followup.py, v5e,
