@@ -9,9 +9,14 @@ kernel performs, per IQ block, entirely in VMEM:
     cumulate reduction
 
 reading each IQ sample once (8 bytes of float32 planes) and writing only
-the reduced ``fft_size`` spectrum per block — the memory-roofline optimum
-for this computation.  The final (k1,k2) -> k reorder + fftshift runs in
-XLA on the tiny output (Mosaic cannot reshape the lane dimension).
+the reduced ``fft_size`` spectrum per block.  Measured against that
+read-once bound (docs/DESIGN.md "Measured roofline"): at DEFAULT
+precision the kernel's marginal throughput is ~158 GB/s of input — 63%
+of the XLA streaming ceiling measured the same way (~250 GB/s), i.e.
+the chain runs within ~1.6x of the best any implementation could do on
+this chip; HIGHEST is matmul-pass-bound instead.  The final
+(k1,k2) -> k reorder + fftshift runs in XLA on the tiny output (Mosaic
+cannot reshape the lane dimension).
 
 Key layout trick: with N = N1*N2 and every window start divisible by N2,
 viewing the IQ block as ``(full_size/N2, N2)`` makes each frame's DFT
@@ -47,10 +52,6 @@ def supports_fused(cfg: SpecConfig) -> bool:
         return False
     return all(s % n2 == 0 for s in cfg.window_starts)
 
-
-# Window-group size cap for the framed kernel's grid axis (how many
-# frames one grid step holds in VMEM).
-_BLOCKDIAG_MAX_DIM = 512
 
 # Block-diagonal matmuls waste FLOPs proportionally to their dimension
 # (only 1/num_blocks of the operand is nonzero), so they are applied in
@@ -345,32 +346,14 @@ def _shift_lanes(v, r: int, n2: int):
     This is how a window start ``s = q*n2 + r`` becomes a zero-copy row
     slice: frame rows are ``out[q : q+n1]``.  One lane ROTATION of the
     whole block (VPU, in-VMEM) plus a select against the next row — the
-    kernel-side replacement for the XLA gather that ``curscan_fused_framed``
-    pays 10x HBM traffic for at 90% overlap.
+    kernel-side replacement for an XLA framing gather, which at 90%
+    overlap would materialize ~10x the input to HBM.
     """
     from jax.experimental.pallas import tpu as pltpu
     rolled = pltpu.roll(v, shift=n2 - r, axis=1)   # [a,l] = v[a,(l+r)%n2]
     lane = jax.lax.broadcasted_iota(
         jnp.int32, (v.shape[0] - 1, n2), 1)
     return jnp.where(lane < n2 - r, rolled[:-1], rolled[1:])
-
-
-def _sublane_frames(block, starts, n1: int, n2: int):
-    """All overlapped frames of one IQ block as (n1, n2) row slices.
-
-    ``block`` is the (rows, n2) value of the whole block; aligned starts
-    slice it directly, misaligned starts slice the per-residue rotated
-    views (one rotation per DISTINCT residue — at the reference-default
-    0.1 non-overlap the residues cycle through only 5 values).
-    """
-    residues = sorted({s % n2 for s in starts if s % n2})
-    rot = {r: _shift_lanes(block, r, n2) for r in residues}
-    out = []
-    for s in starts:
-        q, r = divmod(s, n2)
-        src = block if r == 0 else rot[r]
-        out.append(src[q:q + n1, :])
-    return out
 
 
 def _bd_dot_left(dot, f1r, f1i, ar, ai, n1: int, w_cnt: int, cf: int):
@@ -611,280 +594,6 @@ def curscan_fused_sublane(iq_re: jax.Array, iq_im: jax.Array,
         wg = cfg.num_windows
     interpret = jax.default_backend() != "tpu"
     return _build_sublane(cfg, interpret, t_tile, wg)(iq_re, iq_im)
-
-
-# ---------------------------------------------------------------------------
-# Pre-framed sublane kernel: fractional / misaligned hops.
-#
-# The reference's DEFAULT overlap is 90% (curScanNonOverlap 0.1,
-# kspecanal.py:45) with per-index truncated starts int(i*fftSize*0.1)
-# (kspecanal.py:386) — not 128-aligned, so the zero-copy framing above
-# cannot apply.  At 90% overlap ANY implementation must touch ~10x the
-# samples; XLA's chain materializes the (W, fft_size) frame matrix and
-# then round-trips HBM for every stage after (window, FFT, |.|, reduce).
-# Here XLA does only the gather (one fused copy); the kernel consumes the
-# framed array once and does everything else in VMEM.
-#
-# Window axis is a second grid dimension (groups of `gw` windows) with
-# in-kernel accumulation into the output block, so VMEM holds one group
-# at a time.  The cumulate weights live in SMEM indexed by group id; a
-# ragged last group is padded with REPEATED window 0 (weight 0 kills the
-# duplicates for AVG/RAW; duplicates are idempotent for MAX/MIN).
-# ---------------------------------------------------------------------------
-
-
-def supports_fused_framed(cfg: SpecConfig) -> bool:
-    """Any hop pattern; needs fft_size a multiple of 128 with n1 >= 2."""
-    n = cfg.fft_size
-    return n % _SUBLANE_N2 == 0 and n // _SUBLANE_N2 >= 2
-
-
-def _kernel_framed(a_re_ref, a_im_ref, f1bdr_ref, f1bdi_ref, f2tr_ref,
-                   f2ti_ref, twr_ref, twi_ref, winr_ref, w_ref, out_ref, *,
-                   cfg: SpecConfig, gw: int, n1: int, cf: int):
-    n2 = _SUBLANE_N2
-    n = cfg.fft_size
-    adj_scale = jnp.float32(win_adj(cfg.window, n) * 2.0 / n)
-    dot = _make_dot(cfg.tpu_precision)
-    mode = cfg.cur_scan_cumu_mode
-    wg = pl.program_id(1)
-
-    ar = a_re_ref[0] * winr_ref[...]          # (gw*n1, 128) framed+windowed
-    ai = a_im_ref[0] * winr_ref[...]
-
-    br, bi = _bd_dot_left(dot, f1bdr_ref[...], f1bdi_ref[...], ar, ai,
-                          n1, gw, cf)
-
-    twr, twi = twr_ref[...], twi_ref[...]     # (gw*n1, 128)
-    cr = br * twr - bi * twi
-    ci = br * twi + bi * twr
-
-    f2tr, f2ti = f2tr_ref[...], f2ti_ref[...]
-    dr = dot(cr, f2tr) - dot(ci, f2ti)        # (gw*n1, 128)
-    di = dot(ci, f2tr) + dot(cr, f2ti)
-    mag = jnp.sqrt(dr * dr + di * di)
-
-    acc = _cumulate_frames(mode, adj_scale, (
-        (w_ref[wg, j], mag[j * n1:(j + 1) * n1, :]) for j in range(gw)))
-
-    @pl.when(wg == 0)
-    def _init():
-        out_ref[0] = acc
-
-    @pl.when(wg > 0)
-    def _accum():
-        if mode in (CUMU_AVG, CUMU_RAW):
-            out_ref[0] += acc
-        elif mode == CUMU_MAX:
-            out_ref[0] = jnp.maximum(out_ref[0], acc)
-        else:
-            out_ref[0] = jnp.minimum(out_ref[0], acc)
-
-
-@functools.lru_cache(maxsize=32)
-def _build_framed(cfg: SpecConfig, interpret: bool):
-    from jax.experimental.pallas import tpu as pltpu
-    from kspecanal_tpu.ops.mxu_fft import _dft_tables_for
-    n = cfg.fft_size
-    n2 = _SUBLANE_N2
-    n1 = n // n2
-    w_cnt = cfg.num_windows
-    f1r, f1i, f2r, f2i, twr1, twi1 = _dft_tables_for(n, n1, n2)
-
-    gw = max(1, min(w_cnt, _BLOCKDIAG_MAX_DIM // n1))
-    nwg = -(-w_cnt // gw)
-    w_pad = nwg * gw
-
-    # Frame index table: window j's frame is x[starts[j] : starts[j]+n],
-    # reshaped (n1, n2).  Ragged tail groups REPEAT window 0.
-    starts = list(cfg.window_starts) + [cfg.window_starts[0]] * (w_pad - w_cnt)
-    gather = np.zeros((w_pad, n), np.int32)
-    for j, s in enumerate(starts):
-        gather[j] = s + np.arange(n, dtype=np.int32)
-    gather_j = gather.reshape(w_pad * n1, n2)
-
-    wts = cumu_weights(cfg.cur_scan_cumu_mode, w_cnt)
-    if wts is None:
-        wts = np.ones(w_cnt)
-    w_tbl = np.zeros((nwg, gw), np.float32)
-    w_tbl.ravel()[:w_cnt] = wts
-    w_tbl_j = w_tbl
-
-    win_t = np.asarray(np.tile(
-        window_lut(cfg.window, n).reshape(n1, n2), (gw, 1)), np.float32)
-    twr = np.asarray(np.tile(twr1, (gw, 1)), np.float32)
-    twi = np.asarray(np.tile(twi1, (gw, 1)), np.float32)
-
-    cf = max(1, min(gw, _BD_CHUNK // n1))
-    bd = cf * n1
-    f1bdr = np.zeros((bd, bd), np.float32)
-    f1bdi = np.zeros((bd, bd), np.float32)
-    for j in range(cf):
-        f1bdr[j * n1:(j + 1) * n1, j * n1:(j + 1) * n1] = f1r
-        f1bdi[j * n1:(j + 1) * n1, j * n1:(j + 1) * n1] = f1i
-    f1a, f1b = f1bdr, f1bdi
-    f1shape = (bd, bd)
-
-    kernel = functools.partial(_kernel_framed, cfg=cfg, gw=gw, n1=n1, cf=cf)
-
-    def whole(shape):
-        return pl.BlockSpec(shape, lambda i, g: tuple(0 for _ in shape))
-
-    flops_mm = 8 * n * (n1 + n2) * w_cnt
-
-    def call(iq_re, iq_im):
-        t = iq_re.shape[0]
-        # XLA-side framing: ONE fused gather per plane -> (t, w_pad*n1, n2)
-        a_re = jnp.take(iq_re, jnp.asarray(gather_j), axis=1)
-        a_im = jnp.take(iq_im, jnp.asarray(gather_j), axis=1)
-        acc = pl.pallas_call(
-            kernel,
-            out_shape=jax.ShapeDtypeStruct((t, n1, n2), jnp.float32),
-            grid=(t, nwg),
-            in_specs=[
-                pl.BlockSpec((1, gw * n1, n2), lambda i, g: (i, g, 0)),
-                pl.BlockSpec((1, gw * n1, n2), lambda i, g: (i, g, 0)),
-                whole(f1shape), whole(f1shape),
-                whole((n2, n2)), whole((n2, n2)),
-                whole((gw * n1, n2)), whole((gw * n1, n2)),
-                whole((gw * n1, n2)),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-            ],
-            out_specs=pl.BlockSpec((1, n1, n2), lambda i, g: (i, 0, 0)),
-            interpret=interpret,
-            cost_estimate=pl.CostEstimate(
-                flops=t * (flops_mm + 12 * w_cnt * n),
-                bytes_accessed=t * (w_pad * n * 8 + n * 4),
-                transcendentals=t * w_cnt * n,
-            ),
-        )(a_re, a_im, jnp.asarray(f1a), jnp.asarray(f1b),
-          jnp.asarray(f2r.T), jnp.asarray(f2i.T), jnp.asarray(twr),
-          jnp.asarray(twi), jnp.asarray(win_t), jnp.asarray(w_tbl_j))
-        spec = acc.transpose(0, 2, 1).reshape(t, n)
-        return jnp.fft.fftshift(spec, axes=-1)
-
-    return jax.jit(call)
-
-
-def curscan_fused_framed(iq_re: jax.Array, iq_im: jax.Array,
-                         cfg: SpecConfig) -> jax.Array:
-    """Fused curscan for ARBITRARY window starts (fractional hop):
-    XLA gathers the overlapped frames, the kernel fuses window multiply,
-    DFT, magnitude and cumulate.  (T, full_size) -> (T, fft_size)."""
-    if not supports_fused_framed(cfg):
-        raise ValueError("fft_size not a multiple of 128 (or < 256)")
-    interpret = jax.default_backend() != "tpu"
-    return _build_framed(cfg, interpret)(iq_re, iq_im)
-
-
-# ---------------------------------------------------------------------------
-# Tiny-FFT fused kernel (fft_size <= 128): the quickFullScan regime
-# (fftSize 64, kspecanal.py:916-921).  The DFT is a single (n, n) matmul —
-# no decomposition, no twiddle — so the whole chain per grid step is:
-# window multiply -> 4 dots against DFT^T -> magnitude -> weighted reduce.
-# Frames are gathered XLA-side (hops are sub-lane-sized, any alignment);
-# many blocks batch per grid step (they are tiny).
-# ---------------------------------------------------------------------------
-
-
-def supports_fused_small(cfg: SpecConfig) -> bool:
-    return cfg.fft_size <= _SUBLANE_N2
-
-
-def _kernel_small(a_re_ref, a_im_ref, fr_ref, fi_ref, winr_ref, out_ref, *,
-                  cfg: SpecConfig, weights, t_tile: int):
-    n = cfg.fft_size
-    w_cnt = cfg.num_windows
-    adj_scale = win_adj(cfg.window, n) * 2.0 / n
-    dot = _make_dot(cfg.tpu_precision)
-    mode = cfg.cur_scan_cumu_mode
-
-    ar = a_re_ref[0] * winr_ref[...]          # (t_tile*W, n) framed+windowed
-    ai = a_im_ref[0] * winr_ref[...]
-    frt, fit = fr_ref[...], fi_ref[...]       # DFT^T (n, n)
-    dr = dot(ar, frt) - dot(ai, fit)
-    di = dot(ai, frt) + dot(ar, fit)
-    mag = jnp.sqrt(dr * dr + di * di)         # (t_tile*W, n)
-
-    for b in range(t_tile):
-        out_ref[b, :, :] = _cumulate_frames(mode, adj_scale, (
-            (weights[wi] if weights else 0.0,
-             mag[b * w_cnt + wi: b * w_cnt + wi + 1, :])
-            for wi in range(w_cnt)))
-
-
-@functools.lru_cache(maxsize=32)
-def _build_small(cfg: SpecConfig, interpret: bool, t_tile: int):
-    n = cfg.fft_size
-    w_cnt = cfg.num_windows
-    k = np.arange(n)
-    dft = np.exp(-2j * np.pi * np.outer(k, k) / n)
-    frt = np.asarray(dft.real.T, np.float32)
-    fit = np.asarray(dft.imag.T, np.float32)
-    wts = cumu_weights(cfg.cur_scan_cumu_mode, w_cnt)
-    weights = (None if wts is None else tuple(float(x) for x in wts))
-    win_t = np.asarray(np.tile(window_lut(cfg.window, n), (t_tile * w_cnt, 1)),
-                       np.float32)
-    gather = np.asarray(cfg.window_starts, np.int32)[:, None] + \
-        np.arange(n, dtype=np.int32)[None, :]
-    gather_j = gather                         # (W, n)
-
-    kernel = functools.partial(_kernel_small, cfg=cfg, weights=weights,
-                               t_tile=t_tile)
-
-    def whole(shape):
-        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
-
-    def call(iq_re, iq_im):
-        t = iq_re.shape[0]
-        assert t % t_tile == 0, (t, t_tile)
-        # XLA-side framing gather -> (t, W, n), viewed (t/tt, tt*W, n)
-        a_re = jnp.take(iq_re, jnp.asarray(gather_j), axis=1).reshape(
-            t // t_tile, t_tile * w_cnt, n)
-        a_im = jnp.take(iq_im, jnp.asarray(gather_j), axis=1).reshape(
-            t // t_tile, t_tile * w_cnt, n)
-        acc = pl.pallas_call(
-            kernel,
-            out_shape=jax.ShapeDtypeStruct((t, 1, n), jnp.float32),
-            grid=(t // t_tile,),
-            in_specs=[
-                pl.BlockSpec((1, t_tile * w_cnt, n), lambda i: (i, 0, 0)),
-                pl.BlockSpec((1, t_tile * w_cnt, n), lambda i: (i, 0, 0)),
-                whole((n, n)), whole((n, n)),
-                whole((t_tile * w_cnt, n)),
-            ],
-            out_specs=pl.BlockSpec((t_tile, 1, n), lambda i: (i, 0, 0)),
-            interpret=interpret,
-            cost_estimate=pl.CostEstimate(
-                flops=t * (8 * n * n * w_cnt + 12 * w_cnt * n),
-                bytes_accessed=t * (w_cnt * n * 8 + n * 4),
-                transcendentals=t * w_cnt * n,
-            ),
-        )(a_re, a_im, jnp.asarray(frt), jnp.asarray(fit),
-          jnp.asarray(win_t))
-        return jnp.fft.fftshift(acc.reshape(t, n), axes=-1)
-
-    return jax.jit(call)
-
-
-def _auto_t_tile_small(cfg: SpecConfig, t: int) -> int:
-    per_block = 2 * cfg.num_windows * 128 * 4 * 4  # padded frames, 2 planes
-    for cand in (64, 32, 16, 8, 4, 2, 1):
-        if t % cand == 0 and cand * per_block <= _T_TILE_VMEM_BUDGET // 2:
-            return cand
-    return 1
-
-
-def curscan_fused_small(iq_re: jax.Array, iq_im: jax.Array,
-                        cfg: SpecConfig, t_tile: int = 0) -> jax.Array:
-    """Fused curscan for tiny fft_size (<= 128), any hop."""
-    if not supports_fused_small(cfg):
-        raise ValueError("fft_size > 128")
-    t = iq_re.shape[0]
-    if t_tile <= 0:
-        t_tile = _auto_t_tile_small(cfg, t)
-    interpret = jax.default_backend() != "tpu"
-    return _build_small(cfg, interpret, t_tile)(iq_re, iq_im)
 
 
 # ---------------------------------------------------------------------------

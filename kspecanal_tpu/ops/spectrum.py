@@ -171,85 +171,6 @@ def curscan_direct_batched(iq_re: jax.Array, iq_im: jax.Array,
     return jax.vmap(one)(iq_re, iq_im)
 
 
-def curscan_small_views(iq_re: jax.Array, iq_im: jax.Array,
-                        cfg: SpecConfig) -> jax.Array:
-    """Small-FFT curscan with ZERO-GATHER framing (quickFullScan regime,
-    kspecanal.py:916-921).
-
-    Every window start ``s`` decomposes as ``s = r + n*q`` with residue
-    ``r = s % n``; all frames sharing a residue are consecutive rows of the
-    slice-view ``x[r:].reshape(-1, n)``.  The handful of distinct residues
-    (2 at 50% overlap, ~10 at the reference-default truncated hop) cost one
-    slice+reshape each — free under XLA fusion — instead of the per-sample
-    gather that bounds ``curscan_direct_batched``.  ALL rows of every view
-    are DFT'd (one wide MXU matmul); rows that correspond to no real window
-    fold away in the weighted reduce (weight 0 for AVG/RAW, masked for
-    MAX/MIN) — a few percent of wasted FLOPs in exchange for a chain with
-    no data movement at all before the matmul.
-    """
-    n = cfg.fft_size
-    full = cfg.full_size
-    starts = cfg.window_starts
-    w_cnt = cfg.num_windows
-    t = iq_re.shape[0]
-    residues = sorted({s % n for s in starts})
-    rows_per = {r: (full - r) // n for r in residues}
-    # (view, row) -> window index (or None)
-    wts = cumu_weights(cfg.cur_scan_cumu_mode, w_cnt)
-    frame_w = []      # weight per (view, row) in concat order
-    frame_m = []      # 1.0 where a real window lives, else 0.0
-    for r in residues:
-        w_of_row = {}
-        for wi, s in enumerate(starts):
-            if s % n == r:
-                w_of_row[(s - r) // n] = wi
-        for q in range(rows_per[r]):
-            wi = w_of_row.get(q)
-            frame_m.append(0.0 if wi is None else 1.0)
-            frame_w.append(0.0 if wi is None else
-                           (1.0 if wts is None else float(wts[wi])))
-    f_cnt = len(frame_w)
-
-    k = np.arange(n)
-    dft = np.exp(-2j * np.pi * np.outer(k, k) / n)
-    win = window_lut(cfg.window, n)
-    adj = win_adj(cfg.window, n) * 2.0 / n
-    # window (+ overall scale) folded into the DFT table on the input index
-    frt = jnp.asarray(dft.real * win[:, None] * adj, jnp.float32)
-    fit = jnp.asarray(dft.imag * win[:, None] * adj, jnp.float32)
-
-    views_re, views_im = [], []
-    for r in residues:
-        span = rows_per[r] * n
-        views_re.append(jax.lax.slice_in_dim(
-            iq_re, r, r + span, axis=1).reshape(t, -1, n))
-        views_im.append(jax.lax.slice_in_dim(
-            iq_im, r, r + span, axis=1).reshape(t, -1, n))
-    ar = jnp.concatenate(views_re, axis=1).reshape(t * f_cnt, n)
-    ai = jnp.concatenate(views_im, axis=1).reshape(t * f_cnt, n)
-
-    from kspecanal_tpu.ops.mxu_fft import matmul_precision
-    prec = matmul_precision(cfg.tpu_precision)
-    dot = functools.partial(jnp.dot, precision=prec,
-                            preferred_element_type=jnp.float32)
-    xr = dot(ar, frt) - dot(ai, fit)
-    xi = dot(ai, frt) + dot(ar, fit)
-    mag = jnp.sqrt(xr * xr + xi * xi).reshape(t, f_cnt, n)
-
-    mode = cfg.cur_scan_cumu_mode
-    if wts is not None:          # AVG / RAW: weighted sum over frames
-        spec = jnp.einsum("tfn,f->tn", mag,
-                          jnp.asarray(frame_w, jnp.float32))
-    else:
-        mask = jnp.asarray(frame_m, jnp.float32)[None, :, None] > 0
-        from kspecanal_tpu.config import CUMU_MAX
-        if mode == CUMU_MAX:
-            spec = jnp.max(jnp.where(mask, mag, -jnp.inf), axis=1)
-        else:
-            spec = jnp.min(jnp.where(mask, mag, jnp.inf), axis=1)
-    return jnp.fft.fftshift(spec, axes=-1)
-
-
 def _fused_choice(cfg: SpecConfig) -> Optional[str]:
     """Pick the fused-kernel layout for this (fft_size, precision) cell
     from the hardware-measured table (scripts/perf_followup.py, v5e,
@@ -289,11 +210,20 @@ def _fused_choice(cfg: SpecConfig) -> Optional[str]:
 def curscan_auto_batched(iq_re: jax.Array, iq_im: jax.Array,
                          cfg: SpecConfig) -> jax.Array:
     """Best batched curscan for the current backend:
-      * a fused Pallas kernel on TPU when the window starts are aligned
-        (layout per the measured table in ``_fused_choice``);
-      * the pre-framed fused kernel for fractional/misaligned hops
-        (e.g. the reference-default 90% overlap) when fft_size % 128 == 0;
-      * direct DFT matmul on TPU for tiny fft_size (64/128);
+      * a fused Pallas kernel on TPU when fft_size is a multiple of 128
+        (layout per the measured table in ``_fused_choice``; the sublane
+        layout handles ANY window starts via in-VMEM lane rotation, so the
+        reference-default 90% fractional hop takes this path too);
+      * the packed read-input-once kernel for tiny fft_size (64/128 —
+        the quickFullScan regime, kspecanal.py:916-921), measured v5e
+        (scripts/perf_r2.py small, T=16384, ovl 0.5, Gsamp/s):
+          fft64:  packed 2.75/2.91 (HIGHEST/DEFAULT)  direct 2.22/2.31
+          fft128: packed 2.35/2.52                    direct 1.98/2.03
+        This regime is DISPATCH-floor-bound at that batch size: per
+        dispatch the kernel touches 67 MB of HBM (~0.2 ms at 350 GB/s)
+        while the whole call takes ~2.9 ms, and t_tile sweeps move it
+        < 8% — the bench measures it at 4x the batch to amortize.
+      * direct DFT matmul for other small fft_size (non-pow2 <= 256);
       * the XLA gather+FFT chain otherwise."""
     from kspecanal_tpu.ops import pallas_curscan
     if jax.default_backend() == "tpu":
@@ -302,26 +232,11 @@ def curscan_auto_batched(iq_re: jax.Array, iq_im: jax.Array,
             return pallas_curscan.curscan_fused_sublane(iq_re, iq_im, cfg)
         if choice == "lane":
             return pallas_curscan.curscan_fused(iq_re, iq_im, cfg)
-        # Fractional-hop (e.g. the reference-default 90% overlap): framed
-        # kernel vs XLA chain, measured at ovl=0.9 (Gsamp/s):
-        #   2048:  xla 0.40 | framed 0.36 / 0.54 / 0.86 (HIGHEST/HIGH/DEF)
-        #   16384: xla 0.21 | framed 0.38 / 0.52 / 0.63
-        # -> framed wins except small-fft HIGHEST.
-        # Tiny ffts are gather/epilogue-bound, not DFT-bound: the fused
-        # small kernel only edges out the direct matmul at DEFAULT
-        # (measured 1.23 vs 1.18 @64, 2.22 vs 2.14 @128 Gsamp/s; it LOSES
-        # at HIGHEST where its in-kernel 6-pass dots serialize).
-        if pallas_curscan.supports_fused_small(cfg):
-            if cfg.tpu_precision.upper() == "DEFAULT":
-                return pallas_curscan.curscan_fused_small(iq_re, iq_im, cfg)
-            return curscan_direct_batched(iq_re, iq_im, cfg)
-        if pallas_curscan.supports_fused_framed(cfg) and not (
-                cfg.tpu_precision.upper() == "HIGHEST"
-                and cfg.fft_size < 4096):
-            return pallas_curscan.curscan_fused_framed(iq_re, iq_im, cfg)
+        if pallas_curscan.supports_fused_packed(cfg):
+            return pallas_curscan.curscan_fused_packed(iq_re, iq_im, cfg)
         if cfg.fft_size <= 256:
-            # No fused kernel applies (e.g. 256 with fractional hop at
-            # HIGHEST): the direct DFT matmul still beats the XLA chain
-            # in the tiny-FFT regime (2.33 Gsamp/s measured).
+            # No fused kernel applies (non-pow2 tiny fft, or 256 with a
+            # fractional hop whose full_size misaligns): the direct DFT
+            # matmul still beats the XLA chain here (2.33 Gsamp/s @256).
             return curscan_direct_batched(iq_re, iq_im, cfg)
     return curscan_batched(iq_re, iq_im, cfg)

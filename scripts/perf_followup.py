@@ -187,40 +187,6 @@ def dispatch_matrix():
 
 
 
-def framed_overlap():
-    """Pre-framed fused kernel vs the XLA chain at 90% overlap (the
-    reference default, fractional hop)."""
-    import dataclasses
-    from kspecanal_tpu.config import SpecConfig, WINDOW_KAISER
-    from kspecanal_tpu.ops.pallas_curscan import curscan_fused_framed
-    from kspecanal_tpu.ops.spectrum import curscan_batched
-
-    print("# framed kernel at 90% overlap (fractional hop)", flush=True)
-    rng = np.random.default_rng(7)
-    for fft, T in [(2048, 512), (16384, 64)]:
-        cfg0 = SpecConfig(prg_mode="ZEROSPAN", fft_size=fft,
-                          sampling_rate=2.4e6, window=WINDOW_KAISER,
-                          cur_scan_non_overlap=0.1).finalize()
-        a_re = rng.standard_normal((2, cfg0.full_size)).astype(np.float32)
-        a_im = rng.standard_normal((2, cfg0.full_size)).astype(np.float32)
-        ref = _oracle_curscan(a_re, a_im, cfg0)
-        mk = jax.jit(lambda k: jax.random.normal(
-            k, (2, T, cfg0.full_size), jnp.float32))
-        planes = mk(jax.random.key(0))
-        re, im = planes[0], planes[1]
-        meas(jax.jit(lambda r, i, c=cfg0: curscan_batched(r, i, c)),
-             re, im, f"xla    fft={fft:5d} ovl=0.9")
-        for prec in ("HIGHEST", "HIGH", "DEFAULT"):
-            cfg = dataclasses.replace(cfg0, tpu_precision=prec)
-            got = np.asarray(curscan_fused_framed(
-                jnp.asarray(a_re), jnp.asarray(a_im), cfg))
-            err = np.max(np.abs(got - ref) / np.maximum(np.abs(ref), 1e-12))
-            print(f"  fft={fft} {prec}: max_rel_err={err:.3e}", flush=True)
-            meas(lambda r, i, c=cfg: curscan_fused_framed(r, i, c),
-                 re, im, f"framed fft={fft:5d} {prec:7s} ovl=0.9")
-        del re, im, planes
-
-
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("all", "small"):
@@ -231,5 +197,3 @@ if __name__ == "__main__":
         sublane_layout()
     if which in ("all", "matrix"):
         dispatch_matrix()
-    if which in ("all", "framed"):
-        framed_overlap()

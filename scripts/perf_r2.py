@@ -1,9 +1,9 @@
 """Round-2 TPU measurements: the deep-overlap (90%) curscan paths.
 
 Compares the generalized sublane kernel (in-VMEM lane-rotation framing,
-reads each IQ sample once) against the round-1 framed kernel (XLA gather
-materializes ~10x frames to HBM) and the XLA chain, at the reference's
-DEFAULT overlap (curScanNonOverlap 0.1, kspecanal.py:45).
+reads each IQ sample once) against the XLA chain at the reference's
+DEFAULT overlap (curScanNonOverlap 0.1, kspecanal.py:45).  (The round-1
+pre-framed kernel it beat 2-3x was removed in round 3.)
 
 Usage: python scripts/perf_r2.py [ovl90|wg]
 """
@@ -71,9 +71,6 @@ def ovl90():
             err = float(np.max(np.abs(np.asarray(out[0]) - ref)
                                / (np.abs(ref) + 1e-12)))
             print(f"    max_rel_err={err:.2e}", flush=True)
-            meas(jax.jit(lambda r_, i_: pk.curscan_fused_framed(
-                r_, i_, cfg)), re, im,
-                f"framed       fft={fft:5d} {prec:7s}")
         cfg = dataclasses.replace(base, tpu_precision="HIGHEST")
         meas(jax.jit(lambda r_, i_: curscan_batched(r_, i_, cfg)), re, im,
              f"xla-chain    fft={fft:5d}")
@@ -146,9 +143,6 @@ def small_packed():
             print(f"    max_rel_err={err:.2e}", flush=True)
             meas(jax.jit(lambda r_, i_: curscan_direct_batched(
                 r_, i_, cfg)), re, im, f"direct fft={fft:4d} {prec:7s}")
-            if pk.supports_fused_small(cfg):
-                meas(jax.jit(lambda r_, i_: pk.curscan_fused_small(
-                    r_, i_, cfg)), re, im, f"smallg fft={fft:4d} {prec:7s}")
         # packed t_tile sensitivity
         cfg = dataclasses.replace(base, tpu_precision="HIGHEST")
         for tt in (32, 64, 128, 256):

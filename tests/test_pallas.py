@@ -158,32 +158,6 @@ def test_sublane_fused_matches_xla_chain():
         curscan_batched(re, im, frac), rtol=5e-5, atol=1e-9)
 
 
-def test_framed_fused_fractional_hop():
-    """Pre-framed kernel handles the reference's DEFAULT 90% overlap
-    (truncated non-uniform starts, kspecanal.py:386) for every cumulate
-    mode, including ragged window groups."""
-    import dataclasses
-    from kspecanal_tpu.config import SpecConfig, WINDOW_KAISER
-    from kspecanal_tpu.ops.pallas_curscan import (curscan_fused_framed,
-                                                  supports_fused_framed)
-    from kspecanal_tpu.ops.spectrum import curscan_batched
-    rng = np.random.default_rng(12)
-    for fft, nono, mode in [(2048, 0.1, "AVG"), (256, 0.1, "MAX"),
-                            (1024, 0.25, "MIN")]:
-        cfg = SpecConfig(prg_mode="ZEROSPAN", fft_size=fft,
-                         sampling_rate=2.4e6, window=WINDOW_KAISER,
-                         cur_scan_non_overlap=nono,
-                         cur_scan_cumu_mode=mode).finalize()
-        assert supports_fused_framed(cfg)
-        re = jnp.asarray(rng.standard_normal((2, cfg.full_size)), jnp.float32)
-        im = jnp.asarray(rng.standard_normal((2, cfg.full_size)), jnp.float32)
-        ref = curscan_batched(re, im, cfg)
-        got = curscan_fused_framed(re, im, cfg)
-        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=1e-9)
-    assert not supports_fused_framed(SpecConfig(fft_size=192))
-    assert not supports_fused_framed(SpecConfig(fft_size=128))
-
-
 def test_fused_choice_table():
     """Dispatch picks the hardware-measured winner per (fft, precision)."""
     import dataclasses
@@ -207,23 +181,31 @@ def test_fused_choice_table():
     assert _fused_choice(cfg(64)) is None
 
 
-def test_small_fused_matches_chain():
-    """Tiny-FFT fused kernel (quickFullScan regime) vs the XLA chain,
-    every cumulate mode, aligned and fractional hops."""
-    from kspecanal_tpu.config import SpecConfig, WINDOW_HANNING
-    from kspecanal_tpu.ops.pallas_curscan import (curscan_fused_small,
-                                                  supports_fused_small)
-    rng = np.random.default_rng(13)
-    for fft, nono, mode in [(64, 0.5, "AVG"), (128, 0.5, "MAX"),
-                            (64, 0.1, "MIN"), (64, 0.5, "RAW")]:
-        cfg = SpecConfig(prg_mode="ZEROSPAN", fft_size=fft,
-                         sampling_rate=2.4e6, window=WINDOW_HANNING,
-                         cur_scan_non_overlap=nono,
-                         cur_scan_cumu_mode=mode).finalize()
-        assert supports_fused_small(cfg)
-        re = jnp.asarray(rng.standard_normal((4, cfg.full_size)), jnp.float32)
-        im = jnp.asarray(rng.standard_normal((4, cfg.full_size)), jnp.float32)
-        ref = curscan_batched(re, im, cfg)
-        got = curscan_fused_small(re, im, cfg, t_tile=2)
-        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=1e-9)
-    assert not supports_fused_small(SpecConfig(fft_size=256))
+
+
+def test_auto_dispatch_routes_small_to_packed():
+    """On a TPU backend the production dispatch must reach the packed
+    read-once kernel for the quickFullScan regime (fftSize 64,
+    kspecanal.py:916-921) — round 2 built it but never wired it in."""
+    from unittest import mock
+    from kspecanal_tpu.config import SpecConfig, WINDOW_KAISER
+    from kspecanal_tpu.ops import pallas_curscan, spectrum
+
+    def cfg(fft, nono=0.5):
+        return SpecConfig(prg_mode="ZEROSPAN", fft_size=fft,
+                          sampling_rate=2.4e6, window=WINDOW_KAISER,
+                          cur_scan_non_overlap=nono, x_res=fft).finalize()
+
+    calls = []
+    with mock.patch.object(spectrum.jax, "default_backend",
+                           lambda: "tpu"), \
+         mock.patch.object(pallas_curscan, "curscan_fused_packed",
+                           lambda r, i, c, **kw: calls.append(c.fft_size)), \
+         mock.patch.object(pallas_curscan, "curscan_fused_sublane",
+                           lambda r, i, c, **kw: calls.append("sublane")):
+        re = jnp.zeros((2, cfg(64).full_size), jnp.float32)
+        spectrum.curscan_auto_batched(re, re, cfg(64))
+        spectrum.curscan_auto_batched(re, re, cfg(64, nono=0.1))
+        re2 = jnp.zeros((2, cfg(128).full_size), jnp.float32)
+        spectrum.curscan_auto_batched(re2, re2, cfg(128))
+    assert calls == [64, 64, 128]

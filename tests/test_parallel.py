@@ -216,8 +216,7 @@ def test_fused_kernels_inside_shard_map():
     mesh, compared against the XLA-chain sharded result."""
     from unittest import mock
     from kspecanal_tpu.parallel import stream as stream_mod
-    from kspecanal_tpu.ops.pallas_curscan import (curscan_fused_framed,
-                                                  curscan_fused_sublane)
+    from kspecanal_tpu.ops.pallas_curscan import curscan_fused_sublane
     cfg = SpecConfig(prg_mode="ZEROSPAN", fft_size=512, sampling_rate=2.4e6,
                      window=WINDOW_KAISER, cur_scan_non_overlap=0.5,
                      x_res=256).finalize()
@@ -227,7 +226,7 @@ def test_fused_kernels_inside_shard_map():
     re = jnp.asarray(rng.standard_normal((t, cfg.full_size)), jnp.float32)
     im = jnp.asarray(rng.standard_normal((t, cfg.full_size)), jnp.float32)
     base = stream_mod.waterfall_stream_sharded(re, im, cfg, mesh)
-    for fn in (curscan_fused_sublane, curscan_fused_framed):
+    for fn in (curscan_fused_sublane,):
         with mock.patch.object(stream_mod, "curscan_auto_batched",
                                lambda r, i, c, f=fn: f(r, i, c)):
             stream_mod._build_stream_sharded.cache_clear()
