@@ -156,8 +156,16 @@ def band_spectra(iq_re: jax.Array, iq_im: jax.Array, retune_ok: jax.Array,
     iq_*: (num_bands, full_size); retune_ok: (num_bands,) bool.
     Returns (num_bands, fft_size) dB spectra after the scan display chain:
     curscan -> sentinel substitution -> Clip2MinAmp -> LogNoGain(infTo=0)
-    (kspecanal.py:635-641)."""
-    lin = curscan_auto_batched(iq_re, iq_im, cfg)
+    (kspecanal.py:635-641).
+
+    ``b_use_psd`` applies here too: the reference's PSD cross-check lives
+    inside ``sdr_curscan`` (kspecanal.py:636 -> :374-384), so scan mode
+    inherits it per band."""
+    if cfg.b_use_psd:
+        from kspecanal_tpu.ops.spectrum import psd_welch
+        lin = jax.vmap(lambda r, i: psd_welch(r, i, cfg))(iq_re, iq_im)
+    else:
+        lin = curscan_auto_batched(iq_re, iq_im, cfg)
     # Failed retune -> all-ones band (~ -gain dB marker) kspecanal.py:637-639
     lin = jnp.where(retune_ok[:, None], lin, jnp.ones_like(lin))
     clip = cfg.scan_clip_proc
@@ -207,13 +215,18 @@ def _stitch_one_band(carry, pr, i_start, b: BandPlan, cfg: SpecConfig,
     """
     cur, fmax, fmin, favg = carry
     # Source-limited: the last band's s_end shrinks when it pokes past the
-    # grid (kspecanal.py:626-629), so the RAW region follows the source.
-    raw_len = b.s_end - b.s_raw_start
+    # grid (kspecanal.py:626-629), so the RAW region follows the source —
+    # and can be EMPTY when the clamp eats the whole fresh region (the
+    # reference's numpy slice at :644 just goes empty there).
+    raw_len = max(0, b.s_end - b.s_raw_start)
     ovl_len = b.i_old_end - b.i_start
     i_old_end = i_start + ovl_len
     # --- Cur stitch: RAW copy of the fresh region (:642-644)
-    seg = jax.lax.slice_in_dim(pr, b.s_raw_start, b.s_raw_start + raw_len)
-    cur = jax.lax.dynamic_update_slice_in_dim(cur, seg, i_old_end, axis=0)
+    if raw_len > 0:
+        seg = jax.lax.slice_in_dim(pr, b.s_raw_start,
+                                   b.s_raw_start + raw_len)
+        cur = jax.lax.dynamic_update_slice_in_dim(cur, seg, i_old_end,
+                                                  axis=0)
     # --- overlap-average with the previous band (:645-649)
     if b.i_old_end != 0 and ovl_len > 0:
         new_seg = jax.lax.slice_in_dim(pr, b.s_start, b.s_start + ovl_len)
@@ -338,6 +351,71 @@ def sweep_step_jit(state: ScanState, iq_re, iq_im, retune_ok,
     return stitch_sweep(state, spectra, cfg, plan, adj)
 
 
+@functools.lru_cache(maxsize=32)
+def _gather_stitch_plan(cfg: SpecConfig, plan: ScanPlan):
+    """Static gather tables that turn a whole sweep's order-dependent
+    stitch into TWO gathers + elementwise math, or None when the plan's
+    geometry does not admit it.
+
+    Derivation (vs kspecanal.py:642-668): band i's overlap-average region
+    ``[iStart(i), iOldEnd(i))`` reads Cur values that band i-1 JUST wrote
+    RAW (its fresh region is ``[iOldEnd(i-1), iEnd(i-1))`` and
+    ``iEnd(i-1) == iOldEnd(i)``), provided ``iStart(i) >= iOldEnd(i-1)``
+    — true exactly when ``scanRangeNonOverlap >= 0.5``.  Then the sweep's
+    FINAL Cur at every grid position is a fixed 1- or 2-term affine
+    combination of this sweep's band spectra, independent of the previous
+    sweep.  Likewise each band's Max/Min/Avg read segment
+    ``[iStart(i), iDone(i))`` is final when read, because band i+1's
+    writes start at ``iStart(i+1) == iDone(i)`` (same int truncation) and
+    its RAW region at ``iEnd(i) >= iDone(i)`` — so the per-band cumulate
+    collapses to ONE elementwise update with the final Cur over
+    ``[0, iDone(last))``.
+
+    The tables are built by SIMULATING the band fold symbolically; any
+    geometry the affine form cannot represent (deep overlap < 0.5, whose
+    averages read 2-term entries) returns None and the caller keeps the
+    sequential fold.  ``bScanRangeBaseDataIsRaw`` also disqualifies (its
+    Max/Min/Avg read raw OVERLAPPING band segments in band order).
+    """
+    if cfg.b_scan_range_base_data_is_raw:
+        return None
+    total = plan.total_entries
+    f = cfg.fft_size
+    band1 = np.full(total, 0, np.int64)
+    idx1 = np.zeros(total, np.int64)
+    w1 = np.zeros(total, np.float32)
+    band2 = np.zeros(total, np.int64)
+    idx2 = np.zeros(total, np.int64)
+    w2 = np.zeros(total, np.float32)
+    written = np.zeros(total, bool)
+    for bi, b in enumerate(plan.bands):
+        raw_len = b.s_end - b.s_raw_start
+        ovl_len = b.i_old_end - b.i_start
+        if b.i_done > b.i_start + f:       # read past own write (ovl > 1)
+            return None
+        # RAW copy of the fresh region (kspecanal.py:642-644)
+        p = np.arange(b.i_old_end, b.i_old_end + raw_len)
+        band1[p] = bi
+        idx1[p] = b.s_raw_start + (p - b.i_old_end)
+        w1[p] = 1.0
+        w2[p] = 0.0
+        written[p] = True
+        # overlap-average with the previous band (:645-649)
+        if b.i_old_end != 0 and ovl_len > 0:
+            q = np.arange(b.i_start, b.i_start + ovl_len)
+            if not (written[q].all() and (w2[q] == 0.0).all()):
+                return None        # 2-term entry would need a 3rd source
+            w1[q] *= 0.5
+            band2[q] = bi
+            idx2[q] = b.s_start + (q - b.i_start)
+            w2[q] = 0.5
+    upd_end = plan.bands[-1].i_done
+    g1 = (band1 * f + idx1).astype(np.int32)
+    g2 = (band2 * f + idx2).astype(np.int32)
+    return (g1, w1, g2, w2, written,
+            (np.arange(total) < upd_end).astype(bool))
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "plan"))
 def sweep_steps_jit(state: ScanState, iq_re, iq_im, retune_ok,
                     cfg: SpecConfig, plan: ScanPlan,
@@ -346,9 +424,12 @@ def sweep_steps_jit(state: ScanState, iq_re, iq_im, retune_ok,
     retune_ok (S, num_bands).
 
     All S*num_bands band curscans run as one batched kernel dispatch (the
-    expensive part); the order-dependent stitch folds sweep-by-sweep under
-    ``lax.scan``.  Exactly equivalent to S sequential ``sweep_step_jit``
-    calls — this is how scan mode escapes the ~2-4 ms per-dispatch RPC
+    expensive part).  For stitchable geometries (``_gather_stitch_plan``)
+    the per-sweep band fold is replaced by two static gathers + an
+    elementwise sweep fold — fully vectorized across bands; otherwise the
+    order-dependent stitch folds sweep-by-sweep under ``lax.scan``.
+    Exactly equivalent to S sequential ``sweep_step_jit`` calls either
+    way — this is how scan mode escapes the ~2-4 ms per-dispatch RPC
     floor that made one-sweep-per-dispatch measurement-bound (a full FM
     sweep is only ~280 Ksamples).
     """
@@ -357,11 +438,143 @@ def sweep_steps_jit(state: ScanState, iq_re, iq_im, retune_ok,
                            retune_ok.reshape(s * b), cfg)
     spectra = spectra.reshape(s, b, cfg.fft_size)
 
+    # s <= ring depth keeps the batched ring write free of duplicate
+    # indices (a .at[].set with repeats has no ordering guarantee).
+    tbl = _gather_stitch_plan(cfg, plan) if s <= HEATMAP_ROWS else None
+    if tbl is not None:
+        return _stitch_sweeps_gathered(state, spectra, cfg, plan, tbl, adj)
+
     def body(st, sp):
         return stitch_sweep(st, sp, cfg, plan, adj), None
 
     state, _ = jax.lax.scan(body, state, spectra)
     return state
+
+
+def _stitch_sweeps_gathered(state: ScanState, spectra: jax.Array,
+                            cfg: SpecConfig, plan: ScanPlan, tbl,
+                            adj: Optional[jax.Array]) -> ScanState:
+    """Vectorized S-sweep stitch using the static gather plan: the
+    per-band ``dynamic_update_slice`` chains become two gathers over the
+    flattened (S, B*fft) spectra, and the per-sweep fold collapses to
+    closed forms — NOTHING is sequential:
+
+      * Max/Min over sweeps are single axis reductions;
+      * the sequential ``(a+b)/2`` Avg decay has closed-form weights
+        (cf. the zero-span batched fold), so the Avg state after EVERY
+        sweep — needed for its heatmap row, kspecanal.py:696-697 — is
+        one small lower-triangular (S, S) @ (S, total) matmul;
+      * all S heatmap ring rows batch like zero-span's ring write
+        (duplicate ring indices would race for S > HEATMAP_ROWS, so the
+        session caps catch-up at the ring depth).
+
+    Exact reference semantics incl. the first-sweep RAW Avg seed
+    (kspecanal.py:615-618); equivalence-tested against the sequential
+    fold in tests/test_modes.py."""
+    g1, w1, g2, w2, written, upd = tbl
+    s = spectra.shape[0]
+    flat = spectra.reshape(s, -1)
+    cur_all = (jnp.asarray(w1) * jnp.take(flat, jnp.asarray(g1), axis=1)
+               + jnp.asarray(w2) * jnp.take(flat, jnp.asarray(g2), axis=1))
+    wr = jnp.asarray(written)      # (total,) grid positions written per sweep
+    seg = jnp.asarray(upd)         # (total,) Max/Min/Avg update region
+    first = state.sweep == 0
+
+    # Unwritten positions keep the previous Cur for every sweep.
+    cur_all = jnp.where(wr[None, :], cur_all, state.fft_cur[None, :])
+
+    fmax, fmin = state.fft_max, state.fft_min
+    if cfg.b_data_max:
+        fmax = jnp.where(seg, jnp.maximum(fmax, jnp.max(cur_all, axis=0)),
+                         fmax)
+    if cfg.b_data_min:
+        fmin = jnp.where(seg, jnp.minimum(fmin, jnp.min(cur_all, axis=0)),
+                         fmin)
+
+    # Closed-form decay fold: favg after sweep k (0-based) is
+    #   continuing: 2^-(k+1) * favg_prev + sum_i 2^-(k-i+1) * cur_i
+    #   fresh:      2^-k * cur_0        + sum_{i>=1} 2^-(k-i+1) * cur_i
+    k = np.arange(s)
+    pow_cont = 2.0 ** -(k[:, None] - k[None, :] + 1.0)      # (S, S)
+    tri = (k[None, :] <= k[:, None])
+    w_cont = np.where(tri, pow_cont, 0.0)
+    w_fresh = w_cont.copy()
+    w_fresh[:, 0] = 2.0 ** -k
+    wm = jnp.where(first, jnp.asarray(w_fresh, jnp.float32),
+                   jnp.asarray(w_cont, jnp.float32))
+    decay = jnp.where(first, jnp.zeros(s, jnp.float32),
+                      jnp.asarray(2.0 ** -(k + 1.0), jnp.float32))
+    favg_all = (jnp.einsum("si,it->st", wm, cur_all,
+                           precision=jax.lax.Precision.HIGHEST)
+                + decay[:, None] * state.fft_avg[None, :])  # (S, total)
+    favg_all = jnp.where(seg[None, :], favg_all, state.fft_avg[None, :])
+
+    a_avg = favg_all if adj is None else favg_all - adj[None, :]
+    rows = jax.vmap(
+        lambda d: dsp.compress_1d(d, cfg.plt_compress_hm, cfg.x_res))(a_avg)
+    ring_idx = (state.hm_index + jnp.arange(s)) % HEATMAP_ROWS
+    heatmap = state.heatmap.at[ring_idx].set(rows)
+
+    return ScanState(fmax, fmin, favg_all[-1], cur_all[-1], heatmap,
+                     (state.hm_index + s) % HEATMAP_ROWS, state.sweep + s)
+
+
+# ---------------------------------------------------------------------------
+# Per-band stepping (tpuRenderEvery band): the reference redraws all four
+# curves after EVERY retune band (kspecanal.py:670-688), so a slow wide
+# scan shows progress band-by-band.  These entry points let the session
+# fold the (already batched) band spectra into the curves one band at a
+# time, emitting an interim view per band, without recompiling per band:
+# the static geometry is CANONICALIZED relative to i_start so all uniform
+# bands share one compiled program.
+# ---------------------------------------------------------------------------
+
+
+def rel_band(b: BandPlan) -> BandPlan:
+    """Canonical band template: geometry relative to ``i_start`` (which is
+    passed traced), preserving the first-band ``i_old_end == 0`` flag that
+    gates the overlap-average (kspecanal.py:645)."""
+    return BandPlan(
+        center_freq=0.0, i_start=0, i_end=b.i_end - b.i_start,
+        i_done=b.i_done - b.i_start,
+        i_old_end=(b.i_old_end - b.i_start) if b.i_old_end != 0 else 0,
+        s_start=b.s_start, s_end=b.s_end, s_raw_start=b.s_raw_start)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def band_spectra_jit(iq_re, iq_im, retune_ok, cfg: SpecConfig):
+    return band_spectra(iq_re, iq_im, retune_ok, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("rel", "cfg"))
+def band_stitch_jit(curves, pr, i_start, first_sweep, rel: BandPlan,
+                    cfg: SpecConfig):
+    """Stitch ONE band into the (cur, max, min, avg) curve tuple."""
+    return _stitch_one_band(curves, pr, i_start, rel, cfg, first_sweep)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "plan"))
+def curves_view_jit(curves, heatmap, adj, cfg: SpecConfig, plan: ScanPlan):
+    """Interim display view from a mid-sweep curve tuple (the per-band
+    redraw of kspecanal.py:670-688; heatmap updates only per sweep)."""
+    cur, fmax, fmin, favg = curves
+    interim = ScanState(fmax, fmin, favg, cur, heatmap,
+                        jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+    return scan_view(interim, cfg, plan, adj)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def finish_sweep_jit(state: ScanState, curves, cfg: SpecConfig, adj=None
+                     ) -> ScanState:
+    """Sweep epilogue on a band-stepped curve tuple: heatmap row from the
+    compressed adjusted Avg + ring/sweep bump (kspecanal.py:696-697) —
+    the same math as ``stitch_sweep``'s ``_finish``."""
+    cur, fmax, fmin, favg = curves
+    a_avg = favg if adj is None else favg - adj
+    row = dsp.compress_1d(a_avg, cfg.plt_compress_hm, cfg.x_res)
+    heatmap = state.heatmap.at[state.hm_index].set(row)
+    return ScanState(fmax, fmin, favg, cur, heatmap,
+                     (state.hm_index + 1) % HEATMAP_ROWS, state.sweep + 1)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "plan"))
