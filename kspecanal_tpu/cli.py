@@ -45,6 +45,7 @@ class RunOptions:
     renderer: str = "gui"    # gui | term | none
     state_file: str = ""     # checkpoint/resume .npz (io/state)
     catch_up: int = 0        # zero-span blocks per dispatch (0/1 = serial)
+    render_every: str = "sweep"  # scan render cadence: sweep | band
 
 
 class CliError(ValueError):
@@ -113,7 +114,17 @@ _RUNOPT_KEYMAP = {
     # Batched catch-up: K zero-span blocks per device dispatch (file/synth
     # sources; 0/1 keeps the serial one-block cadence).
     "TPUCATCHUP": ("catch_up", int),
+    # Scan-mode render cadence: "sweep" (default, batched) or "band"
+    # (reference behavior, kspecanal.py:670-688: redraw per retune band).
+    "TPURENDEREVERY": ("render_every", lambda v: _render_every(v)),
 }
+
+
+def _render_every(v: str) -> str:
+    lo = v.lower()
+    if lo not in ("sweep", "band"):
+        raise CliError(f"tpuRenderEvery [{v}] not one of sweep|band")
+    return lo
 
 
 def parse_args(argv: List[str]) -> Tuple[SpecConfig, RunOptions]:
@@ -180,6 +191,13 @@ def make_source(cfg: SpecConfig, run: RunOptions):
         return sources.SynthIQSource(center_freq=cfg.center_freq,
                                      sample_rate=cfg.sampling_rate,
                                      gain=0.5, seed=None)
+    if run.source == "devicesynth":
+        # On-device tone synthesis: full-rate simulator mode (no SDR, no
+        # host->device sample traffic) — pairs with tpuCatchUp for
+        # soak/benchmark runs of the complete session pipeline.
+        return sources.DeviceSynthIQSource(center_freq=cfg.center_freq,
+                                           sample_rate=cfg.sampling_rate,
+                                           gain=0.5)
     if run.source.startswith("file:"):
         path = run.source[5:]
         # Prefer the native streaming reader (C++ producer thread, O(block)
@@ -243,7 +261,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     sess = sess_mod.Session(cfg, source, renderer, mesh=mesh,
                             state_file=run.state_file,
                             catch_up=run.catch_up,
-                            sweep_prefetch=sweep_prefetch)
+                            sweep_prefetch=sweep_prefetch,
+                            render_every=run.render_every)
 
     def _sigint(signum, stack):  # kspecanal.py:1118-1123
         log_info("sigint: quiting on user request...")

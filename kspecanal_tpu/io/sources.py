@@ -14,6 +14,7 @@ Reference equivalents:
 """
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional, Protocol, Sequence, Tuple
 
@@ -62,7 +63,13 @@ def load_rtlsdr_capture(path: str, count: Optional[int] = None,
 
 class FileIQSource:
     """Streams IQ from a raw rtl_sdr capture file, wrapping around at EOF
-    so arbitrarily long sessions can replay a finite capture."""
+    so arbitrarily long sessions can replay a finite capture.
+
+    Holds the capture as RAW bytes (2 B/sample) and decodes per read;
+    :meth:`read_raw` exposes the undecoded u8 stream so the session can
+    ship bytes to the device and decode in-jit
+    (``parallel.stream.decode_u8_on_device``) — 4x less host->device
+    traffic than float32 planes."""
 
     def __init__(self, path: str, center_freq: float = 92e6,
                  sample_rate: float = 2.4e6, gain: float = 19.1,
@@ -70,31 +77,49 @@ class FileIQSource:
         self.center_freq = center_freq
         self.sample_rate = sample_rate
         self.gain = gain
-        self._re, self._im = load_rtlsdr_capture(path)
-        if len(self._re) == 0:
+        with open(path, "rb") as f:
+            raw = np.fromfile(f, dtype=np.uint8)
+        if len(raw) % 2:
+            raw = raw[:-1]
+        self._raw = raw
+        if len(raw) == 0:
             raise ValueError(f"empty IQ capture: {path}")
-        self._pos = 0
+        self._pos = 0            # complex-sample position
         self._wrap = wrap
         self.exhausted = False
 
-    def read(self, n: int) -> Planes:
-        re = np.empty(n, np.float32)
-        im = np.empty(n, np.float32)
+    def _n_samples(self) -> int:
+        return len(self._raw) // 2
+
+    def read_raw(self, n: int) -> np.ndarray:
+        """``2*n`` u8 interleaved IQ bytes (127-fill past EOF when
+        non-wrapping, decoding to the same zeros as :meth:`read`)."""
+        out = np.empty(2 * n, np.uint8)
+        total = self._n_samples()
         got = 0
         while got < n:
-            take = min(n - got, len(self._re) - self._pos)
-            re[got:got + take] = self._re[self._pos:self._pos + take]
-            im[got:got + take] = self._im[self._pos:self._pos + take]
+            take = min(n - got, total - self._pos)
+            out[2 * got:2 * (got + take)] = \
+                self._raw[2 * self._pos:2 * (self._pos + take)]
             self._pos += take
             got += take
-            if self._pos == len(self._re):
+            if self._pos == total:
                 if not self._wrap:
                     self.exhausted = True
-                    re[got:] = 0.0
-                    im[got:] = 0.0
-                    return re, im
+                    out[2 * got:] = 127
+                    return out
                 self._pos = 0
-        return re, im
+        return out
+
+    def read(self, n: int) -> Planes:
+        raw = self.read_raw(n)
+        try:
+            from kspecanal_tpu.io import native_iq
+            return native_iq.decode_u8_iq(raw)
+        except (ImportError, OSError):
+            x = raw.astype(np.float32) - np.float32(127.0)
+            return (np.ascontiguousarray(x[0::2]),
+                    np.ascontiguousarray(x[1::2]))
 
     def retune(self, center_freq, sample_rate, gain) -> bool:
         self.center_freq = center_freq
@@ -160,6 +185,86 @@ class SynthIQSource:
 
     def close(self):
         pass
+
+
+class DeviceSynthIQSource:
+    """testfft-semantics tone simulator that synthesizes ON DEVICE
+    (``tpuSource devicesynth``).
+
+    Same tone math as :class:`SynthIQSource` (testfft.py:36-77: a tone per
+    integer MHz in-band at offset ``fC - cur``, ``g*sin + j*g*cos``,
+    random start phase per read) but generated as float32 planes directly
+    in device HBM under jit.  The host never touches sample data, so the
+    session pipeline runs at device rate — the simulator mode for
+    benchmarking and soak-testing the full CLI path without an SDR and
+    without the host->device transfer bottleneck.
+
+    :meth:`read_device_batch` returns ``(K, n)`` jax arrays for the
+    batched catch-up loop; :meth:`read` adapts to the host protocol.
+    """
+
+    def __init__(self, center_freq: float = 92e6, sample_rate: float = 2.4e6,
+                 gain: float = 0.5, seed: Optional[int] = 0,
+                 tone_spacing_hz: float = 1e6):
+        self.center_freq = center_freq
+        self.sample_rate = sample_rate
+        self.gain = gain
+        self._spacing = tone_spacing_hz
+        import jax
+        self._key = jax.random.key(0 if seed is None else seed)
+
+    def _tones(self) -> Tuple[float, ...]:
+        start = self.center_freq - self.sample_rate / 2
+        end = self.center_freq + self.sample_rate / 2
+        s = int(math.ceil(start / self._spacing) * self._spacing)
+        e = int((end // self._spacing) * self._spacing) + 1
+        return tuple(self.center_freq - cur
+                     for cur in range(s, e, int(self._spacing)))
+
+    def read_device_batch(self, k: int, n: int):
+        import jax
+        self._key, sub = jax.random.split(self._key)
+        fn = _build_device_synth(self._tones(), float(self.sample_rate),
+                                 float(self.gain), k, n)
+        return fn(sub)
+
+    def read(self, n: int) -> Planes:
+        re, im = self.read_device_batch(1, n)
+        return (np.asarray(re[0], np.float32), np.asarray(im[0], np.float32))
+
+    def retune(self, center_freq, sample_rate, gain) -> bool:
+        self.center_freq = center_freq
+        self.sample_rate = sample_rate
+        self.gain = gain
+        return True
+
+    def close(self):
+        pass
+
+
+@functools.lru_cache(maxsize=32)
+def _build_device_synth(tones: Tuple[float, ...], sample_rate: float,
+                        gain: float, k: int, n: int):
+    """Jitted (K, n) tone-bank synthesis (cached per static geometry)."""
+    import jax
+    import jax.numpy as jnp
+    f = np.asarray(tones, np.float64)
+    gain_mult = float(10 ** (gain / 10))
+    dur = n / sample_rate
+
+    def one(key):
+        t0 = jax.random.uniform(key, (), jnp.float32)
+        t = t0 + jnp.linspace(0.0, dur, n).astype(jnp.float32)
+        ang = 2 * jnp.pi * jnp.asarray(f, jnp.float32)[:, None] * t[None, :]
+        re = gain_mult * jnp.sin(ang).sum(axis=0)
+        im = gain_mult * jnp.cos(ang).sum(axis=0)
+        return re, im
+
+    def batch(key):
+        keys = jax.random.split(key, k)
+        return jax.vmap(one)(keys)
+
+    return jax.jit(batch)
 
 
 class FlakySource:

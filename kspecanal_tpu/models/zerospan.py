@@ -257,6 +257,17 @@ def zero_span_steps_jit(state, iq_re, iq_im, cfg: SpecConfig):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def zero_span_steps_u8_jit(state, raw, cfg: SpecConfig, adj=None):
+    """K zero-span iterations from RAW capture bytes (K, 2*full_size):
+    the u8 -> float32 decode (octave/load_rtlsdr.m semantics) runs in-jit
+    so the host ships 2 B/sample instead of 8 (the session fast path —
+    host->device transfer dominates the live CLI loop otherwise)."""
+    from kspecanal_tpu.parallel.stream import decode_u8_on_device
+    iq_re, iq_im = decode_u8_on_device(raw)
+    return zero_span_steps(state, iq_re, iq_im, cfg, adj)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def zero_span_steps_adj_jit(state, iq_re, iq_im, adj, cfg: SpecConfig):
     return zero_span_steps(state, iq_re, iq_im, cfg, adj)
 

@@ -38,7 +38,7 @@ class Session:
     def __init__(self, cfg: SpecConfig, source: Optional[IQSource] = None,
                  renderer: Optional[Callable] = None, mesh=None,
                  state_file: str = "", catch_up: int = 0,
-                 sweep_prefetch: bool = False):
+                 sweep_prefetch: bool = False, render_every: str = "sweep"):
         self.cfg = cfg
         self.source = source
         self.renderer = renderer
@@ -51,6 +51,11 @@ class Session:
         # Scan mode: acquire sweep k+1 on a worker thread while sweep k's
         # device step is in flight (io/prefetch.SweepPrefetcher).
         self.sweep_prefetch = bool(sweep_prefetch)
+        # Scan-mode render cadence: "sweep" (default, one render per
+        # completed sweep — the TPU-first batching choice) or "band"
+        # (reference behavior: redraw after every retune band,
+        # kspecanal.py:670-688; costs ~2 extra dispatches per band).
+        self.render_every = render_every
         self.stop = False            # cmd.stop analog (kspecanal.py:970)
         self.adj: Optional[np.ndarray] = None   # Fft.Adj baseline
         self.final_avg: Optional[np.ndarray] = None
@@ -110,12 +115,13 @@ class Session:
                           self.cfg.end_freq, self.final_avg)
             log_info(f"_save_siglvls: success... {self.cfg.save_sig_lvls}")
 
-    def _emit(self, view, iteration: int, timestamp_str: Optional[str] = None):
+    def _emit(self, view, iteration: int, timestamp_str: Optional[str] = None,
+              with_peaks: bool = True):
         if self.renderer is None:
             return
         cfg = self.cfg
         peaks = []
-        if cfg.b_plt_levels:
+        if with_peaks and cfg.b_plt_levels:
             # The reference marks peaks on whichever curve was DRAWN LAST
             # (kspecanal.py:485-504: yLvls falls through the max/min/avg/cur
             # plot sequence), i.e. cur if enabled, else avg, else min, else
@@ -214,8 +220,15 @@ def _run_zero_span_catchup(sess: Session, state: zs.ZeroSpanState, adj,
     """Batched zero-span body: K blocks per device dispatch
     (``tpuCatchUp K``), emitting the LAST view of each batch.  Curve and
     heatmap-ring math is exactly the serial fold (zs.zero_span_steps);
-    only the render cadence coarsens to one frame per batch."""
+    only the render cadence coarsens to one frame per batch.
+
+    Acquisition picks the cheapest host->device route the source offers:
+    on-device synthesis (``read_device_batch``) > raw u8 bytes decoded
+    in-jit (``read_raw``, 2 B/sample) > float32 planes (8 B/sample)."""
     cfg = sess.cfg
+    dev_batch = getattr(sess.source, "read_device_batch", None)
+    raw_read = (None if dev_batch is not None
+                else getattr(sess.source, "read_raw", None))
     done = 0
     prev = time.time()
     while done < n and not sess.stop:
@@ -224,15 +237,24 @@ def _run_zero_span_catchup(sess: Session, state: zs.ZeroSpanState, adj,
         sess.iter_times.append(cur - prev)
         log_dbug(f"ZeroSpan:{done}:{cur - prev}")
         prev = cur
+        raw = None
         with sess.timer.stage("acquire", k * cfg.full_size):
-            blocks = [sess.source.read(cfg.full_size) for _ in range(k)]
-            re = jnp.asarray(np.stack([b[0] for b in blocks]))
-            im = jnp.asarray(np.stack([b[1] for b in blocks]))
+            if dev_batch is not None:
+                re, im = dev_batch(k, cfg.full_size)
+            elif raw_read is not None:
+                raw = jnp.asarray(np.stack(
+                    [raw_read(cfg.full_size) for _ in range(k)]))
+            else:
+                blocks = [sess.source.read(cfg.full_size) for _ in range(k)]
+                re = jnp.asarray(np.stack([b[0] for b in blocks]))
+                im = jnp.asarray(np.stack([b[1] for b in blocks]))
         if getattr(sess.source, "exhausted", False):
             log_warn("zeroSpan: source exhausted; stopping")
             sess.stop = True
         with sess.timer.stage("dsp", k * cfg.full_size):
-            if adj is None:
+            if raw is not None:
+                state, view = zs.zero_span_steps_u8_jit(state, raw, cfg, adj)
+            elif adj is None:
                 state, view = zs.zero_span_steps_jit(state, re, im, cfg)
             else:
                 state, view = zs.zero_span_steps_adj_jit(state, re, im, adj,
@@ -390,7 +412,7 @@ def run_scan(sess: Session, max_sweeps: Optional[int] = None
     pf = None
     if sess.sweep_prefetch:
         from kspecanal_tpu.io.prefetch import SweepPrefetcher
-        pf = SweepPrefetcher(sess.source, cfg, plan)
+        pf = SweepPrefetcher(sess.source, cfg, plan, limit=n)
     try:
         return _run_scan_loop(sess, state, adj, plan, n, pf)
     finally:
@@ -426,6 +448,24 @@ def _run_scan_loop(sess: Session, state, adj, plan: scan_mod.ScanPlan,
                 sweep_step_band_sharded
             state = sweep_step_band_sharded(state, re, im, oks, cfg, plan,
                                             sess.mesh, adj)
+        elif sess.render_every == "band" and sess.renderer is not None:
+            # Reference cadence: redraw the four curves after EVERY retune
+            # band (kspecanal.py:670-688).  The band curscans still run as
+            # one batched dispatch; only the (cheap) stitch steps band by
+            # band, emitting an interim view each time.  plot_highs stays
+            # per-sweep as in the reference (:694-695).
+            spectra = scan_mod.band_spectra_jit(re, im, oks, cfg)
+            curves = (state.fft_cur, state.fft_max, state.fft_min,
+                      state.fft_avg)
+            first_sweep = state.sweep == 0
+            for bi, b in enumerate(plan.bands):
+                curves = scan_mod.band_stitch_jit(
+                    curves, spectra[bi], jnp.int32(b.i_start), first_sweep,
+                    scan_mod.rel_band(b), cfg)
+                view = scan_mod.curves_view_jit(curves, state.heatmap, adj,
+                                                cfg, plan)
+                sess._emit(view, i, with_peaks=False)
+            state = scan_mod.finish_sweep_jit(state, curves, cfg, adj)
         else:
             state = scan_mod.sweep_step_jit(state, re, im, oks, cfg, plan,
                                             adj)
@@ -447,8 +487,11 @@ def _run_scan_catchup(sess: Session, state: scan_mod.ScanState, adj,
     pf = None
     if sess.sweep_prefetch:
         from kspecanal_tpu.io.prefetch import SweepPrefetcher
+        # depth is RAM-bounded (SweepPrefetcher clamps to <= 4 sweeps of
+        # read-ahead); limit stops the worker at the sweeps this run will
+        # actually consume so a reused source is not silently advanced.
         pf = SweepPrefetcher(sess.source, cfg, plan,
-                             depth=max(2, sess.catch_up))
+                             depth=max(2, sess.catch_up), limit=n)
     done = 0
     prev = time.time()
     try:

@@ -304,3 +304,89 @@ def test_png_renderer_writes_frames(tmp_path, rng):
     r.close()
     frames = sorted(tmp_path.glob("frame_*.png"))
     assert len(frames) == 2 and frames[0].stat().st_size > 1000
+
+
+def test_device_synth_source():
+    """DeviceSynthIQSource: on-device tone synthesis with testfft grid
+    semantics — deterministic per seed, tones land on the MHz gridlines,
+    and the catch-up session consumes its device batches directly."""
+    import jax.numpy as jnp
+    from kspecanal_tpu import session as sess_mod
+    from kspecanal_tpu.config import SpecConfig
+    from kspecanal_tpu.io.sources import DeviceSynthIQSource
+    from kspecanal_tpu.ops.spectrum import curscan_jit, fft_freqs
+
+    cfg = SpecConfig(prg_mode="ZEROSPAN", center_freq=92e6,
+                     sampling_rate=2.4e6, fft_size=1024, x_res=256,
+                     cur_scan_non_overlap=0.5).finalize()
+    a = DeviceSynthIQSource(center_freq=92e6, sample_rate=2.4e6, seed=7)
+    b = DeviceSynthIQSource(center_freq=92e6, sample_rate=2.4e6, seed=7)
+    ra, ia = a.read_device_batch(2, cfg.full_size)
+    rb, ib = b.read_device_batch(2, cfg.full_size)
+    assert ra.shape == (2, cfg.full_size)
+    np.testing.assert_array_equal(np.asarray(ra), np.asarray(rb))
+    np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
+    # tone positions: peaks at 91/92/93 MHz gridlines
+    spec = np.asarray(curscan_jit(ra[0], ia[0], cfg))
+    freqs = fft_freqs(cfg)
+    top = freqs[np.argsort(spec)[-3:]]
+    assert {round(f / 1e6) for f in top} == {91, 92, 93}
+    for f in top:
+        assert abs(f - round(f / 1e6) * 1e6) < cfg.sampling_rate / cfg.fft_size
+    # end-to-end: the catch-up loop consumes device batches
+    sess = sess_mod.Session(cfg, DeviceSynthIQSource(92e6, 2.4e6, seed=3),
+                            catch_up=4)
+    state = sess_mod.run_zero_span(sess, max_iters=8)
+    assert int(state.iteration) == 8
+    assert np.isfinite(np.asarray(state.fft_avg)).all()
+
+
+def test_sweep_prefetcher_propagates_worker_error():
+    """ADVICE r2 (medium): a source error on the read-ahead thread must
+    re-raise from get() instead of hanging the scan loop forever; and the
+    credit bound caps how far the worker advances a reused source."""
+    import time as _time
+    from kspecanal_tpu.config import SpecConfig
+    from kspecanal_tpu.io.prefetch import SweepPrefetcher
+    from kspecanal_tpu.models import scan as scan_mod
+
+    cfg = SpecConfig(prg_mode="SCAN", start_freq=88e6, end_freq=92e6,
+                     sampling_rate=2e6, fft_size=128, x_res=128,
+                     cur_scan_non_overlap=0.5).finalize()
+    plan = scan_mod.make_scan_plan(cfg)
+
+    class BoomSource:
+        center_freq, sample_rate, gain = 92e6, 2e6, 19.1
+        exhausted = False
+
+        def __init__(self):
+            self.reads = 0
+
+        def read(self, n):
+            self.reads += 1
+            if self.reads > len(plan.bands):   # sweep 2 blows up
+                raise OSError("usb gone")
+            return (np.zeros(n, np.float32), np.zeros(n, np.float32))
+
+        def retune(self, *a):
+            return True
+
+        def close(self):
+            pass
+
+    src = BoomSource()
+    pf = SweepPrefetcher(src, cfg, plan, depth=2)
+    ok = pf.get()                  # sweep 1 acquired fine
+    assert ok[0].shape == (plan.num_bands, cfg.full_size)
+    with pytest.raises(OSError):
+        pf.get()                   # worker's error surfaces here
+    pf.close()
+
+    # credit/limit bound: with limit=1 the worker acquires exactly one
+    # sweep and leaves the source untouched past it
+    src2 = BoomSource()
+    pf2 = SweepPrefetcher(src2, cfg, plan, depth=4, limit=1)
+    pf2.get()
+    _time.sleep(0.3)               # worker would free-run here if unbounded
+    assert src2.reads == len(plan.bands)
+    pf2.close()
