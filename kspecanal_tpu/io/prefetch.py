@@ -130,37 +130,71 @@ class SweepPrefetcher:
     acquired data is identical to the serial driver's.
 
     ``close()`` stops the worker and returns source ownership.
+
+    The worker is CREDIT-BOUND: it may run at most ``depth`` sweeps ahead
+    of what :meth:`get` has consumed, and never acquires more than
+    ``limit`` sweeps total (the number the session will actually request)
+    — so a non-wrapping source reused after ``run_scan`` is not silently
+    advanced past the sweeps the run consumed.  A source error on the
+    worker thread is captured and re-raised from the next :meth:`get`,
+    matching the serial driver's propagation instead of hanging the loop.
     """
 
-    def __init__(self, source, cfg, plan, depth: int = 2):
+    def __init__(self, source, cfg, plan, depth: int = 2,
+                 limit: int = 0):
         from kspecanal_tpu.session import acquire_sweep
         self._acquire = acquire_sweep
         self._source = source
         self._cfg = cfg
         self._plan = plan
+        depth = max(1, min(int(depth), 4))
         # items: (re (B, full), im, oks (B,), exhausted)
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._credits = threading.Semaphore(depth)
+        self._limit = int(limit) if limit else 0
+        self._exc: Exception | None = None
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._fill, daemon=True)
         self._worker.start()
 
     def get(self):
         """Next sweep's ``(re, im, oks, exhausted)`` numpy stacks.
-        After ``close()`` drains, acquires synchronously as a fallback."""
+        Re-raises a worker-side source error; after ``close()`` drains,
+        acquires synchronously as a fallback."""
         while True:
             try:
-                return self._q.get(timeout=0.1)
+                sweep = self._q.get(timeout=0.1)
+                self._credits.release()
+                return sweep
             except queue.Empty:
+                if self._exc is not None:
+                    raise self._exc
                 if self._stop.is_set():
                     return self._acquire(self._source, self._cfg, self._plan)
 
     def close(self):
         self._stop.set()
+        self._credits.release()   # unblock a worker waiting for a credit
         self._worker.join(timeout=5.0)
 
     def _fill(self):
+        produced = 0
         while not self._stop.is_set():
-            sweep = self._acquire(self._source, self._cfg, self._plan)
+            if self._limit and produced >= self._limit:
+                return
+            # wait for a consumption credit before touching the source, so
+            # at most `depth` sweeps are ever read past what get() returned
+            if not self._credits.acquire(timeout=0.1):
+                continue
+            if self._stop.is_set():
+                return
+            try:
+                sweep = self._acquire(self._source, self._cfg, self._plan)
+            except Exception as e:   # propagate via get() instead of hanging
+                self._exc = e
+                self._stop.set()
+                return
+            produced += 1
             while not self._stop.is_set():
                 try:
                     self._q.put(sweep, timeout=0.5)
