@@ -54,6 +54,18 @@ def main():
     spec = curscan_time_sharded(re, im, cfg, mesh)
     spec_local = np.asarray(spec.addressable_shards[0].data)
 
+    # Per-process throughput of the cross-process halo/psum step: the
+    # scaling-overhead smoke the parent test bounds against the
+    # single-process rate (VERDICT r2 item 9).
+    import time
+    spec.block_until_ready()
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        spec = curscan_time_sharded(re, im, cfg, mesh)
+    spec.block_until_ready()
+    rate = iters * cfg.full_size / (time.perf_counter() - t0)
+
     # --- band-sharded scan sweep: all_gather spans the processes ---
     from kspecanal_tpu.models import scan as scan_mod
     from kspecanal_tpu.parallel.bandshard import sweep_step_band_sharded
@@ -75,8 +87,9 @@ def main():
                 for f in state._fields}
 
     np.savez(os.path.join(outdir, f"result_{pid}.npz"),
-             spec=spec_local, **{f"scan_{k}": v for k, v in state_np.items()})
-    print(f"proc {pid}: OK", flush=True)
+             spec=spec_local, rate=np.float64(rate),
+             **{f"scan_{k}": v for k, v in state_np.items()})
+    print(f"proc {pid}: OK rate={rate/1e6:.2f} Msamp/s", flush=True)
 
 
 if __name__ == "__main__":

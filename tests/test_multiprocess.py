@@ -45,8 +45,17 @@ def _single_process_reference():
     rng = np.random.default_rng(20260820)
     re_np = rng.standard_normal(cfg.full_size).astype(np.float32)
     im_np = rng.standard_normal(cfg.full_size).astype(np.float32)
-    spec = np.asarray(curscan_time_sharded(jnp.asarray(re_np),
-                                           jnp.asarray(im_np), cfg, mesh))
+    re_j, im_j = jnp.asarray(re_np), jnp.asarray(im_np)
+    spec_j = curscan_time_sharded(re_j, im_j, cfg, mesh)
+    spec = np.asarray(spec_j)
+    # time the same step loop as mp_worker.py for the overhead bound
+    import time
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        spec_j = curscan_time_sharded(re_j, im_j, cfg, mesh)
+    spec_j.block_until_ready()
+    rate_1proc = iters * cfg.full_size / (time.perf_counter() - t0)
 
     bmesh = make_mesh(time=1, band=8)
     scfg = SpecConfig(prg_mode="SCAN", start_freq=88e6, end_freq=98e6,
@@ -62,7 +71,8 @@ def _single_process_reference():
     state = scan_mod.init_state(scfg, plan)
     state = sweep_step_band_sharded(state, jnp.asarray(sre), jnp.asarray(sim),
                                     jnp.asarray(oks), scfg, plan, bmesh)
-    return spec, {f: np.asarray(getattr(state, f)) for f in state._fields}
+    return (spec, {f: np.asarray(getattr(state, f)) for f in state._fields},
+            rate_1proc)
 
 
 def test_two_process_matches_single_process(tmp_path):
@@ -85,17 +95,20 @@ def test_two_process_matches_single_process(tmp_path):
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
 
-    spec_ref, scan_ref = _single_process_reference()
+    spec_ref, scan_ref, rate_1proc = _single_process_reference()
     # The two processes compute ONE global program -> their replicated
     # outputs must agree bit-for-bit.
     with np.load(tmp_path / "result_0.npz") as z0, \
             np.load(tmp_path / "result_1.npz") as z1:
         for key in z0.files:
+            if key == "rate":      # per-process wall clock, not program output
+                continue
             np.testing.assert_array_equal(z0[key], z1[key])
     # Against the single-process run the VALUES must match to f32 roundoff:
     # the cross-process psum/all_gather (Gloo ring) reduces in a different
     # order than the in-process tree reduction, so the last-ulp pattern
     # differs while the math is identical.
+    rates = []
     for pid in (0, 1):
         with np.load(tmp_path / f"result_{pid}.npz") as z:
             np.testing.assert_allclose(z["spec"], spec_ref, rtol=1e-5,
@@ -103,3 +116,16 @@ def test_two_process_matches_single_process(tmp_path):
             for f, v in scan_ref.items():
                 np.testing.assert_allclose(z[f"scan_{f}"], v, rtol=1e-5,
                                            atol=1e-5)
+            rates.append(float(z["rate"]))
+    # Scaling-overhead smoke: crossing the process boundary (Gloo ring
+    # over localhost sockets instead of in-process reduction) must not
+    # DEADLOCK or serialize pathologically.  At this smoke size the step
+    # is pure collective latency (~1 ms/socket round vs us in-process),
+    # so the measured ratio (~0.1x here) reflects loopback-Gloo latency,
+    # not the design — on real ICI/DCN the same collectives are us-scale
+    # (docs/SCALING.md has the per-step byte counts).  The bound only
+    # catches order-of-magnitude pathologies; numbers land in the test
+    # log for inspection.
+    print(f"mp rates: 1proc={rate_1proc/1e6:.2f} Msamp/s, "
+          f"2proc={min(rates)/1e6:.2f}/{max(rates)/1e6:.2f} Msamp/s")
+    assert min(rates) > 0.02 * rate_1proc, (rates, rate_1proc)
