@@ -18,6 +18,13 @@ import time
 
 import numpy as np
 
+import jax
+
+# Persistent compile cache: the remote TPU compile of a new program takes
+# 1-13 min through the tunnel; cache hits make re-runs start in seconds.
+jax.config.update("jax_compilation_cache_dir", "/tmp/kspec_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 def numpy_baseline_samples_per_s(cfg, t_blocks: int) -> float:
     """Serial NumPy port of the reference chain: per block, overlapped
@@ -110,22 +117,84 @@ def scan_sweep_samples_per_s(iters: int = 10, sweeps_per_dispatch: int = 16
     return s * b * cfg.full_size / dt
 
 
+def session_samples_per_s(source_kind: str, n_iters: int = 1024,
+                          catch_up: int = 128) -> float:
+    """End-to-end CLI-loop throughput: ``run_zero_span`` with
+    ``tpuCatchUp``, renderer off, on the primary config — the number a
+    user actually gets from ``python -m kspecanal_tpu`` (VERDICT r2
+    item 4).  ``file`` exercises the raw-u8 ship + in-jit decode path
+    (2 B/sample over the host link); ``devicesynth`` the on-device
+    simulator (no host sample traffic at all).  Prints the per-stage
+    breakdown (acquire vs dsp) to stderr."""
+    import tempfile
+
+    import numpy as np
+    from kspecanal_tpu import session as sess_mod
+    from kspecanal_tpu.config import SpecConfig, WINDOW_KAISER
+    from kspecanal_tpu.io import sources
+
+    cfg = SpecConfig(prg_mode="ZEROSPAN", fft_size=2048, sampling_rate=2.4e6,
+                     window=WINDOW_KAISER, cur_scan_non_overlap=0.5,
+                     x_res=512).finalize()
+    tmp = None
+    if source_kind == "file":
+        rng = np.random.default_rng(0)
+        tmp = tempfile.NamedTemporaryFile(suffix=".iq", delete=False)
+        # 64 blocks of capture, wrapped as needed (u8 interleaved IQ)
+        tmp.write(rng.integers(0, 256, 64 * 2 * cfg.full_size,
+                               dtype=np.uint8).tobytes())
+        tmp.close()
+        src = sources.FileIQSource(tmp.name, center_freq=cfg.center_freq,
+                                   sample_rate=cfg.sampling_rate,
+                                   gain=cfg.gain)
+    else:
+        src = sources.DeviceSynthIQSource(center_freq=cfg.center_freq,
+                                          sample_rate=cfg.sampling_rate,
+                                          gain=0.5, seed=0)
+    sess = sess_mod.Session(cfg, src, renderer=None, catch_up=catch_up)
+    # warmup: compile the batched step outside the timed window
+    sess_mod.run_zero_span(sess, max_iters=catch_up)
+    sess = sess_mod.Session(cfg, src, renderer=None, catch_up=catch_up)
+    t0 = time.perf_counter()
+    state = sess_mod.run_zero_span(sess, max_iters=n_iters)
+    _ = float(state.fft_avg[0])   # force completion through the tunnel
+    dt = time.perf_counter() - t0
+    _progress(f"  session[{source_kind}] stages: "
+              + "; ".join(sess.timer.report().splitlines()))
+    if tmp is not None:
+        import os
+        os.unlink(tmp.name)
+    return {"tpu": n_iters * cfg.full_size / dt,
+            "host_acquire_rate": sess.timer.rate("acquire"),
+            "host_dispatch_rate": sess.timer.rate("dsp"),
+            "note": "remainder of wall time is tunnel RPC round-trips "
+                    "(~2.9 ms/dispatch fixed) + host<->device transfer; "
+                    "both absent on directly-attached TPU hosts"}
+
+
 def main():
     from kspecanal_tpu.config import SpecConfig, WINDOW_KAISER
 
     details = {}
-    # Primary: config 2 geometry (fftSize 2048, kaiser, 50% overlap)
+    # Primary: config 2 geometry (fftSize 2048, kaiser, 50% overlap).
+    # Batch sizing: the tunnel costs ~2.9 ms of FIXED per-dispatch time
+    # that does NOT pipeline even when calls are queued
+    # (scripts/probe_membw.py, r3: XLA sum over 134/268/537 MB all take
+    # ~3.0-3.15 ms), so small batches measure the RPC floor, not the
+    # chip.  T=8192 blocks (134 Msamples, 1.1 GB of planes) puts >80% of
+    # the wall time on device compute.
     cfg = SpecConfig(prg_mode="ZEROSPAN", fft_size=2048, sampling_rate=2.4e6,
                      window=WINDOW_KAISER, cur_scan_non_overlap=0.5,
                      x_res=512).finalize()
     _progress("primary fft2048 on device...")
     # Best-of-2: the TPU tunnel occasionally returns a ~2x-slow outlier
     # reading (CLAUDE.md); the steady-state rate is the meaningful number.
-    value = max(device_samples_per_s(cfg, t_blocks=2048) for _ in range(2))
+    value = max(device_samples_per_s(cfg, t_blocks=8192) for _ in range(2))
     _progress(f"primary done: {value/1e9:.2f} Gsamp/s; cpu oracle...")
-    # best-of-3: the serial NumPy oracle is sensitive to ambient host load
+    # best-of-5: the serial NumPy oracle is sensitive to ambient host load
+    # (readings have spanned 12.8-22.1 Msamp/s across rounds)
     base = max(numpy_baseline_samples_per_s(cfg, t_blocks=8)
-               for _ in range(3))
+               for _ in range(5))
     details["fft2048"] = {"tpu": value, "cpu_oracle": base}
 
     # Precision ladder on the primary config (tpuPrecision option):
@@ -136,12 +205,15 @@ def main():
         _progress(f"primary at tpuPrecision {prec}...")
         cp = dataclasses.replace(cfg, tpu_precision=prec)
         details[f"fft2048_{prec.lower()}"] = {
-            "tpu": device_samples_per_s(cp, t_blocks=2048)}
+            "tpu": device_samples_per_s(cp, t_blocks=8192)}
 
-    # Secondary: spot checks across the 64-16384 fftSize range (fft64 uses
-    # a large batch: at 2 Msamples/call the fixed ~2ms dispatch overhead
-    # dominates and the reading wobbles 0.57-0.73G run to run)
-    for fft_size, t_blocks in ((64, 16384), (4096, 1024), (16384, 256)):
+    # Secondary: spot checks across the 64-16384 fftSize range.  fft64
+    # (the quickFullScan regime, packed read-once kernel) uses a VERY
+    # large batch: the regime is dispatch-floor-bound — at T=16384 the
+    # kernel touches 67 MB (~0.2 ms of HBM) inside a ~2.9 ms call
+    # (scripts/perf_r2.py small, r3) — so 4x the blocks amortize the
+    # fixed cost toward the marginal rate.
+    for fft_size, t_blocks in ((64, 65536), (4096, 4096), (16384, 1024)):
         c = SpecConfig(prg_mode="ZEROSPAN", fft_size=fft_size,
                        sampling_rate=2.4e6, window=WINDOW_KAISER,
                        cur_scan_non_overlap=0.5,
@@ -150,18 +222,28 @@ def main():
         details[f"fft{fft_size}"] = {
             "tpu": device_samples_per_s(c, t_blocks=t_blocks)}
 
-    # Deep waterfall (BASELINE config 5): fftSize 16384, kaiser, 90%
-    # overlap (fractional hop -> pre-framed kernel / XLA chain)
-    c5 = SpecConfig(prg_mode="ZEROSPAN", fft_size=16384, sampling_rate=2.4e6,
-                    window=WINDOW_KAISER, cur_scan_non_overlap=0.1,
-                    x_res=512).finalize()
-    _progress("deep waterfall fft16384 ovl 0.9...")
-    details["fft16384_ovl90"] = {"tpu": device_samples_per_s(
-        c5, t_blocks=64, iters=5)}
+    # Deep waterfall (BASELINE config 5 + the reference-default overlap):
+    # 90% overlap, fractional hop -> in-VMEM lane-rotation sublane kernel
+    for fft_size, t_blocks in ((2048, 2048), (16384, 256)):
+        c5 = SpecConfig(prg_mode="ZEROSPAN", fft_size=fft_size,
+                        sampling_rate=2.4e6, window=WINDOW_KAISER,
+                        cur_scan_non_overlap=0.1, x_res=512).finalize()
+        _progress(f"deep waterfall fft{fft_size} ovl 0.9...")
+        details[f"fft{fft_size}_ovl90"] = {"tpu": device_samples_per_s(
+            c5, t_blocks=t_blocks, iters=5)}
 
-    # Scan mode (BASELINE config 3): full FM sweep (17 bands, stitch fold)
+    # Scan mode (BASELINE config 3): full FM sweeps through the batched
+    # gathered stitch (round 3), S sweeps per dispatch
     _progress("fm scan sweep...")
-    details["fm_scan"] = {"tpu": scan_sweep_samples_per_s()}
+    details["fm_scan"] = {"tpu": scan_sweep_samples_per_s(
+        sweeps_per_dispatch=64)}
+
+    # Session path: the throughput a user gets from the real CLI loop
+    # (run_zero_span + tpuCatchUp, renderer off) — not just the kernels.
+    _progress("session path (file source, u8 in-jit decode)...")
+    details["session_file_u8"] = session_samples_per_s("file")
+    _progress("session path (device synth source)...")
+    details["session_devicesynth"] = session_samples_per_s("devicesynth")
 
     result = {
         "metric": "IQ samples/s/chip through windowed-FFT+waterfall chain "
