@@ -259,11 +259,16 @@ def zero_span_steps_jit(state, iq_re, iq_im, cfg: SpecConfig):
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def zero_span_steps_u8_jit(state, raw, cfg: SpecConfig, adj=None):
     """K zero-span iterations from RAW capture bytes (K, 2*full_size):
-    the u8 -> float32 decode (octave/load_rtlsdr.m semantics) runs in-jit
-    so the host ships 2 B/sample instead of 8 (the session fast path —
-    host->device transfer dominates the live CLI loop otherwise)."""
-    from kspecanal_tpu.parallel.stream import decode_u8_on_device
-    iq_re, iq_im = decode_u8_on_device(raw)
+    the u8 -> float32 decode (octave/load_rtlsdr.m semantics) runs
+    on-device so the host ships 2 B/sample instead of 8 (the session
+    fast path — host->device transfer dominates the live CLI loop
+    otherwise).  The bytes deinterleave into uint8 planes that the fused
+    TPU kernel decodes in VMEM (4x less HBM read than f32 planes); the
+    PSD cross-check path decodes eagerly (it runs through the XLA FFT)."""
+    iq_re, iq_im = raw[..., 0::2], raw[..., 1::2]
+    if cfg.b_use_psd:
+        from kspecanal_tpu.parallel.stream import decode_u8_on_device
+        iq_re, iq_im = decode_u8_on_device(raw)
     return zero_span_steps(state, iq_re, iq_im, cfg, adj)
 
 

@@ -379,7 +379,7 @@ def _bd_dot_left(dot, f1r, f1i, ar, ai, n1: int, w_cnt: int, cf: int):
 
 def _kernel_sublane(re_ref, im_ref, f1bdr_ref, f1bdi_ref, f2tr_ref, f2ti_ref,
                     twr_ref, twi_ref, winr_ref, out_ref, *, cfg: SpecConfig,
-                    weights, t_tile: int, cf: int, wg: int):
+                    weights, t_tile: int, cf: int, wg: int, u8: bool):
     n = cfg.fft_size
     n2 = _SUBLANE_N2
     n1 = n // n2
@@ -391,11 +391,17 @@ def _kernel_sublane(re_ref, im_ref, f1bdr_ref, f1bdi_ref, f2tr_ref, f2ti_ref,
 
     # Per-block views + per-residue lane rotations for misaligned starts,
     # computed ONCE per grid step (the block stays resident in VMEM).
+    # u8 inputs (raw 8-bit ADC planes) decode here in VMEM — each HBM
+    # sample costs 1 byte/plane instead of 4, which matters because the
+    # DEFAULT-precision chain is read-bound (docs/DESIGN.md roofline).
     starts = cfg.window_starts
     residues = sorted({s % n2 for s in starts if s % n2})
     views = []
     for b in range(t_tile):
         vr, vi = re_ref[b], im_ref[b]
+        if u8:
+            vr = vr.astype(jnp.float32) - 127.0
+            vi = vi.astype(jnp.float32) - 127.0
         rot_r = {r: _shift_lanes(vr, r, n2) for r in residues}
         rot_i = {r: _shift_lanes(vi, r, n2) for r in residues}
         views.append((vr, vi, rot_r, rot_i))
@@ -460,7 +466,7 @@ def _kernel_sublane(re_ref, im_ref, f1bdr_ref, f1bdi_ref, f2tr_ref, f2ti_ref,
 
 @functools.lru_cache(maxsize=32)
 def _build_sublane(cfg: SpecConfig, interpret: bool, t_tile: int = 1,
-                   wg: int = 0):
+                   wg: int = 0, u8: bool = False):
     from kspecanal_tpu.ops.mxu_fft import _dft_tables_for
     n = cfg.fft_size
     n2 = _SUBLANE_N2
@@ -496,7 +502,7 @@ def _build_sublane(cfg: SpecConfig, interpret: bool, t_tile: int = 1,
     f1shape = (bd, bd)
 
     kernel = functools.partial(_kernel_sublane, cfg=cfg, weights=weights,
-                               t_tile=t_tile, cf=cf, wg=wg)
+                               t_tile=t_tile, cf=cf, wg=wg, u8=u8)
 
     def whole(shape):
         return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
@@ -536,7 +542,8 @@ def _build_sublane(cfg: SpecConfig, interpret: bool, t_tile: int = 1,
     return jax.jit(call)
 
 
-def _vmem_estimate_sublane(cfg: SpecConfig, t_tile: int, wg: int = 0) -> int:
+def _vmem_estimate_sublane(cfg: SpecConfig, t_tile: int, wg: int = 0,
+                           u8: bool = False) -> int:
     n = cfg.fft_size
     n2 = _SUBLANE_N2
     n1 = n // n2
@@ -545,7 +552,11 @@ def _vmem_estimate_sublane(cfg: SpecConfig, t_tile: int, wg: int = 0) -> int:
         wg = w_cnt
     rows = cfg.full_size // n2
     wgn1 = wg * n1
-    inputs = 2 * 2 * t_tile * rows * n2 * 4
+    if u8:
+        # 1 B double-buffered inputs + the decoded f32 block copies
+        inputs = 2 * 2 * t_tile * rows * n2 + 2 * t_tile * rows * n2 * 4
+    else:
+        inputs = 2 * 2 * t_tile * rows * n2 * 4
     # ar/ai + br/bi + cr/ci + c2/mag/d live arrays (per window group)
     inter = 11 * wgn1 * (t_tile * n2) * 4
     # misaligned starts: per-residue rotated block views (2 planes per
@@ -562,16 +573,20 @@ def _vmem_estimate_sublane(cfg: SpecConfig, t_tile: int, wg: int = 0) -> int:
     return inputs + inter + tables
 
 
-def _auto_tiles_sublane(cfg: SpecConfig, t: int):
+def _auto_tiles_sublane(cfg: SpecConfig, t: int, u8: bool = False):
     """(t_tile, wg): prefer batching whole blocks with the full window set;
     deep-overlap configs that cannot fit all windows chunk the window axis
-    instead (wg < num_windows), keeping the read-input-once property."""
-    for cand in (16, 8, 4, 2, 1):
-        if t % cand == 0 and (_vmem_estimate_sublane(cfg, cand)
+    instead (wg < num_windows), keeping the read-input-once property.
+
+    Capped at 8: measured flat from tt=2 to tt=8 (roofline ablation) and
+    tt=16 unrolls a kernel body big enough to cost 15+ min of remote
+    Mosaic compile for no measured gain."""
+    for cand in (8, 4, 2, 1):
+        if t % cand == 0 and (_vmem_estimate_sublane(cfg, cand, u8=u8)
                               <= _T_TILE_VMEM_BUDGET):
             return cand, cfg.num_windows
     for wg in (32, 16, 8, 4, 2, 1):
-        if wg < cfg.num_windows and (_vmem_estimate_sublane(cfg, 1, wg)
+        if wg < cfg.num_windows and (_vmem_estimate_sublane(cfg, 1, wg, u8)
                                      <= _T_TILE_VMEM_BUDGET):
             return 1, wg
     return 1, 1
@@ -581,19 +596,24 @@ def curscan_fused_sublane(iq_re: jax.Array, iq_im: jax.Array,
                           cfg: SpecConfig, t_tile: int = 0,
                           wg: int = 0) -> jax.Array:
     """Sublane-layout fused curscan: (T, full_size) -> (T, fft_size)
-    fftshifted linear spectra.  Requires ``supports_fused_sublane(cfg)``."""
+    fftshifted linear spectra.  Requires ``supports_fused_sublane(cfg)``.
+
+    uint8 inputs are RAW capture planes (value-127 offset,
+    octave/load_rtlsdr.m) decoded IN VMEM — 4x less HBM read than float32
+    planes, which is the binding limit at DEFAULT precision."""
     if not supports_fused_sublane(cfg):
         raise ValueError("config not supported by sublane fused kernel")
+    u8 = iq_re.dtype == jnp.uint8
     t = iq_re.shape[0]
     if t_tile <= 0:
-        auto_t, auto_wg = _auto_tiles_sublane(cfg, t)
+        auto_t, auto_wg = _auto_tiles_sublane(cfg, t, u8)
         t_tile = auto_t
         if wg <= 0:
             wg = auto_wg
     elif wg <= 0:
         wg = cfg.num_windows
     interpret = jax.default_backend() != "tpu"
-    return _build_sublane(cfg, interpret, t_tile, wg)(iq_re, iq_im)
+    return _build_sublane(cfg, interpret, t_tile, wg, u8)(iq_re, iq_im)
 
 
 # ---------------------------------------------------------------------------

@@ -226,10 +226,16 @@ def curscan_auto_batched(iq_re: jax.Array, iq_im: jax.Array,
       * direct DFT matmul for other small fft_size (non-pow2 <= 256);
       * the XLA gather+FFT chain otherwise."""
     from kspecanal_tpu.ops import pallas_curscan
+    u8 = iq_re.dtype == jnp.uint8
     if jax.default_backend() == "tpu":
         choice = _fused_choice(cfg)
         if choice == "sublane":
+            # u8 planes pass straight through: the kernel decodes in VMEM
+            # (4x less HBM read — the DEFAULT-precision binding limit).
             return pallas_curscan.curscan_fused_sublane(iq_re, iq_im, cfg)
+        if u8:
+            iq_re = iq_re.astype(jnp.float32) - 127.0
+            iq_im = iq_im.astype(jnp.float32) - 127.0
         if choice == "lane":
             return pallas_curscan.curscan_fused(iq_re, iq_im, cfg)
         if pallas_curscan.supports_fused_packed(cfg):
@@ -239,4 +245,7 @@ def curscan_auto_batched(iq_re: jax.Array, iq_im: jax.Array,
             # fractional hop whose full_size misaligns): the direct DFT
             # matmul still beats the XLA chain here (2.33 Gsamp/s @256).
             return curscan_direct_batched(iq_re, iq_im, cfg)
+    if u8:
+        iq_re = iq_re.astype(jnp.float32) - 127.0
+        iq_im = iq_im.astype(jnp.float32) - 127.0
     return curscan_batched(iq_re, iq_im, cfg)

@@ -163,10 +163,16 @@ def _cont_weights(t: int) -> np.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def waterfall_stream_u8(raw: jax.Array, cfg: SpecConfig) -> StreamResult:
-    """(T, 2*full_size) raw capture bytes -> StreamResult, decoding on
-    device (see decode_u8_on_device)."""
-    re, im = decode_u8_on_device(raw)
-    return waterfall_stream(re, im, cfg)
+    """(T, 2*full_size) raw capture bytes -> StreamResult.
+
+    The interleaved bytes deinterleave into uint8 PLANES (still
+    1 B/plane/sample) which flow into ``curscan_auto_batched`` as-is —
+    on TPU the sublane kernel decodes them in VMEM, so the hot path
+    reads 2 B/sample from HBM instead of 8 (the DEFAULT-precision chain
+    is read-bound, docs/DESIGN.md roofline).  Off the fused path the
+    dispatch decodes with the elementwise ``x - 127`` — numerics are
+    bit-identical either way."""
+    return waterfall_stream(raw[..., 0::2], raw[..., 1::2], cfg)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "first"))

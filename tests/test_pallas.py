@@ -209,3 +209,42 @@ def test_auto_dispatch_routes_small_to_packed():
         re2 = jnp.zeros((2, cfg(128).full_size), jnp.float32)
         spectrum.curscan_auto_batched(re2, re2, cfg(128))
     assert calls == [64, 64, 128]
+
+
+def test_sublane_kernel_u8_input_matches_decoded():
+    """uint8 raw-plane input to the sublane kernel (in-VMEM decode,
+    4x less HBM read) is bit-identical to decoding on the host first."""
+    from kspecanal_tpu.config import SpecConfig, WINDOW_KAISER
+    from kspecanal_tpu.ops.pallas_curscan import curscan_fused_sublane
+    rng = np.random.default_rng(31)
+    for nono in (0.5, 0.1):
+        cfg = SpecConfig(prg_mode="ZEROSPAN", fft_size=512,
+                         sampling_rate=2.4e6, window=WINDOW_KAISER,
+                         cur_scan_non_overlap=nono).finalize()
+        raw_re = rng.integers(0, 256, (4, cfg.full_size), dtype=np.uint8)
+        raw_im = rng.integers(0, 256, (4, cfg.full_size), dtype=np.uint8)
+        dec_re = jnp.asarray(raw_re.astype(np.float32) - 127.0)
+        dec_im = jnp.asarray(raw_im.astype(np.float32) - 127.0)
+        got = curscan_fused_sublane(jnp.asarray(raw_re), jnp.asarray(raw_im),
+                                    cfg, t_tile=2)
+        want = curscan_fused_sublane(dec_re, dec_im, cfg, t_tile=2)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_auto_dispatch_u8_decodes_off_fused_path():
+    """u8 planes through curscan_auto_batched on a CPU backend (no fused
+    kernel) must equal the host-decoded chain exactly."""
+    from kspecanal_tpu.config import SpecConfig, WINDOW_HANNING
+    from kspecanal_tpu.ops.spectrum import curscan_auto_batched
+    rng = np.random.default_rng(32)
+    cfg = SpecConfig(prg_mode="ZEROSPAN", fft_size=256, sampling_rate=2.4e6,
+                     window=WINDOW_HANNING,
+                     cur_scan_non_overlap=0.5).finalize()
+    raw_re = rng.integers(0, 256, (2, cfg.full_size), dtype=np.uint8)
+    raw_im = rng.integers(0, 256, (2, cfg.full_size), dtype=np.uint8)
+    got = curscan_auto_batched(jnp.asarray(raw_re), jnp.asarray(raw_im), cfg)
+    want = curscan_auto_batched(
+        jnp.asarray(raw_re.astype(np.float32) - 127.0),
+        jnp.asarray(raw_im.astype(np.float32) - 127.0), cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-9)
