@@ -46,6 +46,7 @@ class RunOptions:
     state_file: str = ""     # checkpoint/resume .npz (io/state)
     catch_up: int = 0        # zero-span blocks per dispatch (0/1 = serial)
     render_every: str = "sweep"  # scan render cadence: sweep | band
+    decimate: int = 1        # time-domain decimation preprocessor factor
 
 
 class CliError(ValueError):
@@ -86,6 +87,9 @@ _KEYMAP = {
     "ZEROSPANPLAYFILE": ("zero_span_play_file", str),
     # New (no reference analog): MXU matmul precision for the DFT paths.
     "TPUPRECISION": ("tpu_precision", lambda v: _precision_name(v)),
+    # The reference's own TODO (README.rst:608-611): bypass the outer K
+    # bins of each displayed curscan (Nyquist-edge leakage).
+    "TPUEDGESKIPBINS": ("tpu_edge_skip_bins", int),
 }
 
 
@@ -117,6 +121,10 @@ _RUNOPT_KEYMAP = {
     # Scan-mode render cadence: "sweep" (default, batched) or "band"
     # (reference behavior, kspecanal.py:670-688: redraw per retune band).
     "TPURENDEREVERY": ("render_every", lambda v: _render_every(v)),
+    # Time-domain decimation preprocessor (the reference's TODO,
+    # README.rst:612-622): capture at N*samplingRate, merge N adjacent
+    # samples into one (+1 amplitude bit, effective band = samplingRate).
+    "TPUDECIMATE": ("decimate", int),
 }
 
 
@@ -227,6 +235,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     sweep_prefetch = False
     if cfg.prg_mode != MODE_ZEROSPANPLAY:
         source = make_source(cfg, run)
+        if run.decimate > 1:
+            from kspecanal_tpu.io.sources import DecimatingSource
+            source = DecimatingSource(source, run.decimate)
+            log_info(f"tpuDecimate: capturing at "
+                     f"{cfg.sampling_rate * run.decimate:g} sps, merging "
+                     f"{run.decimate} adjacent samples per output sample")
         if run.prefetch:
             if cfg.prg_mode == MODE_SCAN:
                 # Per-block prefetch is useless under per-band retunes

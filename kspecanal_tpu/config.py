@@ -94,6 +94,13 @@ class SpecConfig:
     # DEFAULT (single bf16 pass) is the fast mode for 8-bit-ADC sources,
     # whose quantization noise already dwarfs bf16 rounding.
     tpu_precision: str = "HIGHEST"             # tpuPrecision CLI option
+    # Band-edge bin skip (the reference's own TODO, README.rst:608-611:
+    # "Skip few fft bins at begin and end, of each curscan, so that
+    # mirroring/minimal leakage ... around the nyquist freq" is bypassed).
+    # The outer K bins of each zero-span DISPLAY curve/heatmap row are
+    # floored to that curve's inner minimum, so compression and peak
+    # marking never pick them; curve state/cumulation stay full-width.
+    tpu_edge_skip_bins: int = 0                # tpuEdgeSkipBins CLI option
     # -- display processing (source-edit-only in the reference :62-67) ----
     zero_span_disp_proc: str = "LogNoGain"     # gZeroSpanFftDispProcMode :63
     scan_disp_proc: str = "LogNoGain"          # gScanRangeFftDispProcMode :64

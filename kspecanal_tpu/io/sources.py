@@ -267,6 +267,57 @@ def _build_device_synth(tones: Tuple[float, ...], sample_rate: float,
     return jax.jit(batch)
 
 
+class DecimatingSource:
+    """Time-domain decimation preprocessor — the reference's own TODO
+    (README.rst:612-622): treat the capture as oversampled, merge each
+    group of ``factor`` adjacent samples into one, "gaining 1 additional
+    bit resolution wrt samples, while reducing the effective freq band".
+
+    The wrapper keeps the CONFIG in post-decimation terms: ``retune``
+    drives the inner source at ``factor * samplingRate`` and ``read(n)``
+    consumes ``factor * n`` raw samples, so frequency axes, fullSize
+    derivation and scan band stepping all see the effective (decimated)
+    rate unchanged.  Each group is summed and divided by ``factor/2``,
+    generalizing the TODO's "decimate 4 adjacent samples into 1 and then
+    divide by 2" (net one extra amplitude bit).
+    """
+
+    def __init__(self, inner: IQSource, factor: int):
+        if factor < 2:
+            raise ValueError(f"decimation factor must be >= 2: {factor}")
+        self._inner = inner
+        self._f = int(factor)
+
+    @property
+    def center_freq(self):
+        return self._inner.center_freq
+
+    @property
+    def sample_rate(self):
+        return self._inner.sample_rate / self._f
+
+    @property
+    def gain(self):
+        return self._inner.gain
+
+    @property
+    def exhausted(self):
+        return bool(getattr(self._inner, "exhausted", False))
+
+    def read(self, n: int) -> Planes:
+        re, im = self._inner.read(n * self._f)
+        scale = np.float32(2.0 / self._f)     # sum / (factor/2)
+        return (
+            (re.reshape(n, self._f).sum(axis=1) * scale).astype(np.float32),
+            (im.reshape(n, self._f).sum(axis=1) * scale).astype(np.float32))
+
+    def retune(self, center_freq, sample_rate, gain) -> bool:
+        return self._inner.retune(center_freq, sample_rate * self._f, gain)
+
+    def close(self):
+        self._inner.close()
+
+
 class FlakySource:
     """Fault-injection wrapper: fails every k-th retune, mirroring the
     reference's recovery contract where ``sdr_setup`` returns ``bOk=False``

@@ -110,6 +110,10 @@ def display_update(state: ZeroSpanState, spectrum_linear: jax.Array,
                                       fft_avg - adj, fft_cur - adj)
     else:
         a_max, a_min, a_avg, a_cur = fft_max, fft_min, fft_avg, fft_cur
+    if cfg.tpu_edge_skip_bins > 0:     # band-edge bypass (reference TODO)
+        k = cfg.tpu_edge_skip_bins
+        a_max, a_min, a_avg, a_cur = (dsp.skip_edge_bins(a, k) for a in
+                                      (a_max, a_min, a_avg, a_cur))
 
     # Heatmap row: compressed adjusted Cur (kspecanal.py:479-484).
     row = dsp.compress_1d(a_cur, cfg.plt_compress_hm, cfg.x_res)
@@ -225,6 +229,7 @@ def zero_span_steps(state: ZeroSpanState, iq_re: jax.Array, iq_im: jax.Array,
                              | (4 if cfg.b_data_avg else 0))
 
     disp = dbs if adj is None else dbs - adj[None, :]
+    disp = dsp.skip_edge_bins(disp, cfg.tpu_edge_skip_bins)
     rows = jax.vmap(
         lambda d: dsp.compress_1d(d, cfg.plt_compress_hm, cfg.x_res))(disp)
     ring_idx = (state.hm_index + jnp.arange(k)) % HEATMAP_ROWS
@@ -236,6 +241,10 @@ def zero_span_steps(state: ZeroSpanState, iq_re: jax.Array, iq_im: jax.Array,
                                       fft_avg - adj, fft_cur - adj)
     else:
         a_max, a_min, a_avg, a_cur = fft_max, fft_min, fft_avg, fft_cur
+    if cfg.tpu_edge_skip_bins > 0:     # band-edge bypass (reference TODO)
+        ek = cfg.tpu_edge_skip_bins
+        a_max, a_min, a_avg, a_cur = (dsp.skip_edge_bins(a, ek) for a in
+                                      (a_max, a_min, a_avg, a_cur))
     freqs = jnp.asarray(
         np.fft.fftshift(np.fft.fftfreq(cfg.fft_size, 1.0 / cfg.sampling_rate)
                         + cfg.center_freq).astype(np.float32))

@@ -248,3 +248,22 @@ def heatmap_width(fft_size: int, x_res: int, mode: str) -> int:
     if mode in (COMPRESS_MAX, COMPRESS_MIN, COMPRESS_AVG):
         return min(fft_size, x_res)
     return fft_size
+
+
+def skip_edge_bins(curve_db: jax.Array, k: int) -> jax.Array:
+    """Floor the outer ``k`` bins of a display curve to its INNER minimum
+    (last-axis), so display compression and peak marking never pick them.
+
+    Implements the reference's own TODO (README.rst:608-611): discard the
+    unreliable bins around the Nyquist edges (spectral leakage / frontend
+    non-linearity) without changing array shapes or the cumulated curve
+    state.  No-op for ``k <= 0``."""
+    if k <= 0:
+        return curve_db
+    n = curve_db.shape[-1]
+    inner_min = jnp.min(
+        jax.lax.slice_in_dim(curve_db, k, n - k, axis=-1), axis=-1,
+        keepdims=True)
+    idx = jnp.arange(n)
+    edge = (idx < k) | (idx >= n - k)
+    return jnp.where(edge, inner_min, curve_db)

@@ -390,3 +390,78 @@ def test_sweep_prefetcher_propagates_worker_error():
     _time.sleep(0.3)               # worker would free-run here if unbounded
     assert src2.reads == len(plan.bands)
     pf2.close()
+
+
+def test_decimating_source():
+    """DecimatingSource (reference TODO, README.rst:612-622): reads
+    factor*n inner samples at factor*rate, merges each group by
+    sum/(factor/2), passes retunes through at the raw rate."""
+    from kspecanal_tpu.io.sources import DecimatingSource
+
+    class RampSource:
+        center_freq, sample_rate, gain = 92e6, 9.6e6, 10.0
+        retunes = []
+
+        def read(self, n):
+            x = np.arange(n, dtype=np.float32)
+            return x, -x
+
+        def retune(self, fc, fs, gain):
+            self.retunes.append((fc, fs, gain))
+            return True
+
+        def close(self):
+            pass
+
+    src = DecimatingSource(RampSource(), 4)
+    assert src.sample_rate == 2.4e6
+    re, im = src.read(8)
+    assert len(re) == 8
+    # group g sums inner samples 4g..4g+3 -> (16g + 6) / 2
+    want = (16.0 * np.arange(8) + 6.0) / 2.0
+    np.testing.assert_allclose(re, want)
+    np.testing.assert_allclose(im, -want)
+    src.retune(90e6, 2.4e6, 19.1)
+    assert RampSource.retunes[-1] == (90e6, 9.6e6, 19.1)
+
+
+def test_zero_span_edge_skip_bins(rng):
+    """tpuEdgeSkipBins floors the outer K display bins (reference TODO,
+    README.rst:608-611): peaks never land there, heatmap rows are edge-
+    floored, cumulated state stays full-width; serial == batched."""
+    import dataclasses
+    import jax.numpy as jnp
+    from kspecanal_tpu.config import SpecConfig
+    from kspecanal_tpu.models import zerospan as zs
+
+    cfg = SpecConfig(prg_mode="ZEROSPAN", center_freq=92e6,
+                     sampling_rate=2.4e6, fft_size=256, x_res=256,
+                     cur_scan_non_overlap=0.5,
+                     tpu_edge_skip_bins=8).finalize()
+    re = jnp.asarray(rng.standard_normal((4, cfg.full_size)), jnp.float32)
+    im = jnp.asarray(rng.standard_normal((4, cfg.full_size)), jnp.float32)
+    st = zs.init_state(cfg)
+    for i in range(4):
+        st, view = zs.zero_span_step_jit(st, re[i], im[i], cfg)
+    # x_res == fft_size -> MAX compress is identity: the outer 8 display
+    # points equal the inner minimum exactly
+    cur = np.asarray(view.cur_lvls)
+    floor = cur[8:-8].min()
+    assert np.all(cur[:8] == floor) and np.all(cur[-8:] == floor)
+    # state stays full-width (not floored)
+    assert not np.all(np.asarray(st.fft_cur)[:8]
+                      == np.asarray(st.fft_cur)[8:-8].min())
+    # batched path agrees with serial
+    stb = zs.init_state(cfg)
+    stb, viewb = zs.zero_span_steps_jit(stb, re, im, cfg)
+    np.testing.assert_allclose(np.asarray(viewb.cur_lvls), cur,
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(stb.heatmap[:4]),
+                               np.asarray(st.heatmap[:4]),
+                               rtol=1e-5, atol=1e-5)
+    # and the no-skip config still differs at the edges
+    cfg0 = dataclasses.replace(cfg, tpu_edge_skip_bins=0)
+    st0 = zs.init_state(cfg0)
+    for i in range(4):
+        st0, view0 = zs.zero_span_step_jit(st0, re[i], im[i], cfg0)
+    assert not np.all(np.asarray(view0.cur_lvls)[:8] == floor)
