@@ -86,6 +86,28 @@ def _progress(msg):
     print(f"# {msg}", file=sys.stderr, flush=True)
 
 
+def device_u8_samples_per_s(cfg, t_blocks: int, iters: int = 10) -> float:
+    """Full waterfall chain fed RAW uint8 capture planes (the 8-bit-ADC
+    production path): the fused kernel decodes in VMEM, so HBM reads
+    2 B/sample instead of 8 — the binding limit at DEFAULT precision."""
+    import jax
+    import jax.numpy as jnp
+    from kspecanal_tpu.parallel.stream import waterfall_stream
+
+    mk = jax.jit(lambda k: jax.random.randint(
+        k, (2, t_blocks, cfg.full_size), 0, 256).astype(jnp.uint8))
+    planes = mk(jax.random.key(0))
+    re, im = planes[0], planes[1]
+    res = waterfall_stream(re, im, cfg)
+    _ = float(res.fft_avg[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        res = waterfall_stream(re, im, cfg)
+    _ = float(res.fft_avg[0])
+    dt = (time.perf_counter() - t0) / iters
+    return t_blocks * cfg.full_size / dt
+
+
 def scan_sweep_samples_per_s(iters: int = 10, sweeps_per_dispatch: int = 16
                              ) -> float:
     """FM-scan sweeps (88-108 MHz, scanRangeNonOverlap 0.5): batched band
@@ -206,6 +228,12 @@ def main():
         cp = dataclasses.replace(cfg, tpu_precision=prec)
         details[f"fft2048_{prec.lower()}"] = {
             "tpu": device_samples_per_s(cp, t_blocks=8192)}
+
+    # 8-bit-native ingest (raw u8 planes, in-VMEM decode): the realistic
+    # SDR production path, and 4x less HBM read where DEFAULT is bound.
+    _progress("primary DEFAULT, u8-native input...")
+    details["fft2048_default_u8"] = {"tpu": device_u8_samples_per_s(
+        dataclasses.replace(cfg, tpu_precision="DEFAULT"), t_blocks=8192)}
 
     # Secondary: spot checks across the 64-16384 fftSize range.  fft64
     # (the quickFullScan regime, packed read-once kernel) uses a VERY
