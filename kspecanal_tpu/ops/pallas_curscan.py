@@ -400,8 +400,10 @@ def _kernel_sublane(re_ref, im_ref, f1bdr_ref, f1bdi_ref, f2tr_ref, f2ti_ref,
     for b in range(t_tile):
         vr, vi = re_ref[b], im_ref[b]
         if u8:
-            vr = vr.astype(jnp.float32) - 127.0
-            vi = vi.astype(jnp.float32) - 127.0
+            # Mosaic has no unsigned->float lowering; widen to i32 first
+            # (u8->i32 and i32->f32 both lower, lowering.py _convert_helper).
+            vr = vr.astype(jnp.int32).astype(jnp.float32) - 127.0
+            vi = vi.astype(jnp.int32).astype(jnp.float32) - 127.0
         rot_r = {r: _shift_lanes(vr, r, n2) for r in residues}
         rot_i = {r: _shift_lanes(vi, r, n2) for r in residues}
         views.append((vr, vi, rot_r, rot_i))
