@@ -108,18 +108,22 @@ def device_u8_samples_per_s(cfg, t_blocks: int, iters: int = 10) -> float:
     return t_blocks * cfg.full_size / dt
 
 
-def scan_sweep_samples_per_s(iters: int = 10, sweeps_per_dispatch: int = 16
+def scan_sweep_samples_per_s(iters: int = 10, sweeps_per_dispatch: int = 16,
+                             precision: str = "HIGHEST",
+                             preset: tuple = ("fmScan", "fftSize", "2048"),
                              ) -> float:
-    """FM-scan sweeps (88-108 MHz, scanRangeNonOverlap 0.5): batched band
-    curscans + the jitted overlap-average stitch fold, S sweeps per
-    dispatch (models.scan.sweep_steps_jit — one full FM sweep is only
-    ~280 Ksamples, far below the ~2-4 ms dispatch floor's break-even)."""
+    """Scan-mode sweeps: batched band curscans + the jitted
+    overlap-average stitch fold, S sweeps per dispatch
+    (models.scan.sweep_steps_jit — one full FM sweep is only ~280
+    Ksamples, far below the ~2-4 ms dispatch floor's break-even).
+    ``preset`` picks the CLI alias: fmScan (BASELINE config 3, 18 bands)
+    or quickFullScan (config 4, 30e6-1.5e9, fftSize 64, 1225 bands)."""
     import jax
     import jax.numpy as jnp
     from kspecanal_tpu.cli import parse_args
     from kspecanal_tpu.models import scan as scan_mod
 
-    cfg, _ = parse_args(["fmScan", "fftSize", "2048"])
+    cfg, _ = parse_args([*preset, "tpuPrecision", precision])
     plan = scan_mod.make_scan_plan(cfg)
     b = plan.num_bands
     s = sweeps_per_dispatch
@@ -260,11 +264,42 @@ def main():
         details[f"fft{fft_size}_ovl90"] = {"tpu": device_samples_per_s(
             c5, t_blocks=t_blocks, iters=5)}
 
+    # Reference-default overlap at DEFAULT precision (VERDICT r2 item 3:
+    # the >= 2.0 Gsamp/s claim belongs in the JSON), plus the u8-native
+    # production variant (8-bit ADC planes decoded in VMEM).
+    c90 = SpecConfig(prg_mode="ZEROSPAN", fft_size=2048, sampling_rate=2.4e6,
+                     window=WINDOW_KAISER, cur_scan_non_overlap=0.1,
+                     x_res=512).finalize()
+    c90d = dataclasses.replace(c90, tpu_precision="DEFAULT")
+    _progress("deep waterfall fft2048 ovl 0.9 DEFAULT...")
+    details["fft2048_ovl90_default"] = {
+        "tpu": device_samples_per_s(c90d, t_blocks=2048, iters=5)}
+    _progress("deep waterfall fft2048 ovl 0.9 DEFAULT u8-native...")
+    details["fft2048_ovl90_default_u8"] = {
+        "tpu": device_u8_samples_per_s(c90d, t_blocks=2048, iters=5)}
+
     # Scan mode (BASELINE config 3): full FM sweeps through the batched
     # gathered stitch (round 3), S sweeps per dispatch
     _progress("fm scan sweep...")
     details["fm_scan"] = {"tpu": scan_sweep_samples_per_s(
         sweeps_per_dispatch=64)}
+    # ... and at DEFAULT precision (the production mode for 8-bit SDR
+    # sources): the scan chain is curscan-matmul-bound at HIGHEST
+    # (docs/DESIGN.md fm ablation), so the bf16 single-pass roughly
+    # doubles it.
+    _progress("fm scan sweep, tpuPrecision DEFAULT...")
+    details["fm_scan_default"] = {"tpu": scan_sweep_samples_per_s(
+        sweeps_per_dispatch=64, precision="DEFAULT")}
+
+    # quickFullScan (BASELINE config 4): 30 MHz - 1.5 GHz, fftSize 64,
+    # 1225 bands/sweep through the packed tiny-FFT kernel + the
+    # lax.scan'd uniform-run stitch.  One sweep is only 627 Ksamples, so
+    # S=128 sweeps/dispatch amortize the fixed ~2.9 ms RPC floor
+    # (measured: S=8/32/64/128 -> 0.68/1.41/1.85/2.19 Gsamp/s; the
+    # S=32->64 marginal rate, 2.7 Gsamp/s, is the packed-kernel bound).
+    _progress("quickFullScan sweep...")
+    details["quick_full_scan"] = {"tpu": scan_sweep_samples_per_s(
+        iters=5, sweeps_per_dispatch=128, preset=("quickFullScan",))}
 
     # Session path: the throughput a user gets from the real CLI loop
     # (run_zero_span + tpuCatchUp, renderer off) — not just the kernels.
@@ -282,7 +317,7 @@ def main():
         # Round-1 numbers (README table) were best-of-1; the tunnel's
         # occasional ~2x-slow outlier motivated the change (CLAUDE.md).
         "methodology": "primary tpu: best-of-2 runs of 10 queued iters "
-                       "each; cpu oracle: best-of-3",
+                       "each; cpu oracle: best-of-5",
         "details": details,
     }
     print(json.dumps(result))

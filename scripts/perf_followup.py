@@ -103,7 +103,7 @@ def sublane_layout():
     """Sublane-layout fused kernel vs the lane layout, across sizes."""
     import dataclasses
     from kspecanal_tpu.config import SpecConfig, WINDOW_KAISER
-    from kspecanal_tpu.ops.pallas_curscan import (_auto_t_tile_sublane,
+    from kspecanal_tpu.ops.pallas_curscan import (_auto_tiles_sublane,
                                                   curscan_fused_sublane)
 
     print("# sublane-layout fused kernel", flush=True)
@@ -125,7 +125,7 @@ def sublane_layout():
         re, im = planes[0], planes[1]
         for prec in precs:
             cfg = dataclasses.replace(cfg0, tpu_precision=prec)
-            tt = _auto_t_tile_sublane(cfg, T)
+            tt, _wg = _auto_tiles_sublane(cfg, T)
             got = np.asarray(curscan_fused_sublane(
                 jnp.asarray(a_re), jnp.asarray(a_im), cfg, t_tile=1))
             err = np.max(np.abs(got - ref) / np.maximum(np.abs(ref), 1e-12))
