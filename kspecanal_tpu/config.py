@@ -259,6 +259,11 @@ class SpecConfig:
                     new_x_res = c.fft_size // i
                     break
             c = dataclasses.replace(c, x_res=new_x_res)
+        if not 0 <= c.tpu_edge_skip_bins < c.fft_size // 2:
+            raise ValueError(
+                f"tpuEdgeSkipBins [{c.tpu_edge_skip_bins}] must be in "
+                f"[0, fftSize/2) = [0, {c.fft_size // 2}) — skipping every "
+                "bin leaves nothing to display")
         return c
 
 

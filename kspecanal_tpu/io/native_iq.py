@@ -85,9 +85,15 @@ def _bind_stream(lib: ctypes.CDLL) -> None:
         return
     lib.iqs_open.argtypes = [ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int]
     lib.iqs_open.restype = ctypes.c_void_p
+    lib.iqs_open_raw.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                 ctypes.c_int]
+    lib.iqs_open_raw.restype = ctypes.c_void_p
     lib.iqs_read.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
                              ctypes.POINTER(ctypes.c_float)]
     lib.iqs_read.restype = ctypes.c_int
+    lib.iqs_read_raw.argtypes = [ctypes.c_void_p,
+                                 ctypes.POINTER(ctypes.c_uint8)]
+    lib.iqs_read_raw.restype = ctypes.c_int
     lib.iqs_file_samples.argtypes = [ctypes.c_void_p]
     lib.iqs_file_samples.restype = ctypes.c_size_t
     lib.iqs_close.argtypes = [ctypes.c_void_p]
@@ -101,12 +107,14 @@ class IqStream:
     Memory is O(block * depth) regardless of capture length; wraps at EOF.
     """
 
-    def __init__(self, path: str, block_samples: int, depth: int = 4):
+    def __init__(self, path: str, block_samples: int, depth: int = 4,
+                 raw: bool = False):
         lib = _load()
         _bind_stream(lib)
         self._lib = lib
         self._block = block_samples
-        self._h = lib.iqs_open(path.encode(), block_samples, depth)
+        opener = lib.iqs_open_raw if raw else lib.iqs_open
+        self._h = opener(path.encode(), block_samples, depth)
         if not self._h:
             raise OSError(f"iqs_open failed for {path}")
 
@@ -124,6 +132,16 @@ class IqStream:
         if not ok:
             raise EOFError("native IQ stream stopped")
         return re, im
+
+    def read_block_raw(self) -> np.ndarray:
+        """Next block as RAW interleaved uint8 (2*block bytes); requires a
+        stream opened with ``raw=True``."""
+        out = np.empty(2 * self._block, np.uint8)
+        ok = self._lib.iqs_read_raw(
+            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        if not ok:
+            raise EOFError("native IQ stream stopped (or not in raw mode)")
+        return out
 
     def close(self) -> None:
         if self._h:

@@ -131,6 +131,18 @@ class FileIQSource:
         pass
 
 
+def _grid_tone_offsets(center_freq: float, sample_rate: float,
+                       spacing: float) -> np.ndarray:
+    """testfft.py:36-55 ``abs_freqs`` grid: one tone per integer multiple
+    of ``spacing`` inside [fC - fS/2, fC + fS/2], as offsets ``fC - cur``
+    (shared by the host and on-device synth sources)."""
+    start = center_freq - sample_rate / 2
+    end = center_freq + sample_rate / 2
+    s = int(math.ceil(start / spacing) * spacing)
+    e = int((end // spacing) * spacing) + 1
+    return np.array([center_freq - cur for cur in range(s, e, int(spacing))])
+
+
 class SynthIQSource:
     """Deterministic multi-tone simulator — the testfft.py fixture rebuilt
     as a seedable source.
@@ -158,12 +170,8 @@ class SynthIQSource:
     def grid_tones(self) -> np.ndarray:
         """testfft.py:36-55: a tone at every integer multiple of the grid
         spacing within [fC - fS/2, fC + fS/2], at offset fC - cur."""
-        start = self.center_freq - self.sample_rate / 2
-        end = self.center_freq + self.sample_rate / 2
-        s = int(math.ceil(start / self._spacing) * self._spacing)
-        e = int((end // self._spacing) * self._spacing) + 1
-        return np.array([self.center_freq - cur
-                         for cur in range(s, e, int(self._spacing))])
+        return _grid_tone_offsets(self.center_freq, self.sample_rate,
+                                  self._spacing)
 
     def read(self, n: int) -> Planes:
         f = (np.asarray(self._tones, np.float64) if self._tones is not None
@@ -214,12 +222,8 @@ class DeviceSynthIQSource:
         self._key = jax.random.key(0 if seed is None else seed)
 
     def _tones(self) -> Tuple[float, ...]:
-        start = self.center_freq - self.sample_rate / 2
-        end = self.center_freq + self.sample_rate / 2
-        s = int(math.ceil(start / self._spacing) * self._spacing)
-        e = int((end // self._spacing) * self._spacing) + 1
-        return tuple(self.center_freq - cur
-                     for cur in range(s, e, int(self._spacing)))
+        return tuple(_grid_tone_offsets(self.center_freq, self.sample_rate,
+                                        self._spacing))
 
     def read_device_batch(self, k: int, n: int):
         import jax
@@ -245,17 +249,36 @@ class DeviceSynthIQSource:
 @functools.lru_cache(maxsize=32)
 def _build_device_synth(tones: Tuple[float, ...], sample_rate: float,
                         gain: float, k: int, n: int):
-    """Jitted (K, n) tone-bank synthesis (cached per static geometry)."""
+    """Jitted (K, n) tone-bank synthesis (cached per static geometry).
+
+    Phase is tracked as a fixed-point fraction-of-a-cycle in uint32 (2^-32
+    cycle units) and advanced by integer multiply, wrapping mod 2^32 — a
+    float32 phase ``2*pi*f*t`` reaches ~1e7 rad where the f32 ulp is ~1
+    rad, which buries the tones in quantization noise; the integer
+    accumulator keeps phase exact (frequency rounding 2^-32
+    cycles/sample ~= 0.3 mHz) at any duration."""
     import jax
     import jax.numpy as jnp
     f = np.asarray(tones, np.float64)
     gain_mult = float(10 ** (gain / 10))
-    dur = n / sample_rate
+    # Host SynthIQSource time base: np.linspace(t0, t0+dur, n) — step
+    # dur/(n-1) seconds — so mirror its cycles/sample exactly.
+    step_s = (n / sample_rate) / max(n - 1, 1)
+    p_int = jnp.asarray(np.round(((f * step_s) % 1.0) * 2.0**32
+                                 ).astype(np.int64) % 2**32, jnp.uint32)
+    f_int = jnp.asarray(np.round(f).astype(np.int64) % 2**32, jnp.uint32)
+    two_pi_over_2_32 = float(2.0 * np.pi / 2.0**32)
 
     def one(key):
-        t0 = jax.random.uniform(key, (), jnp.float32)
-        t = t0 + jnp.linspace(0.0, dur, n).astype(jnp.float32)
-        ang = 2 * jnp.pi * jnp.asarray(f, jnp.float32)[:, None] * t[None, :]
+        # t0 ~ U[0,1) s in 2^-32 units; start phase frac(f*t0) per tone
+        t0_int = jax.random.bits(key, (), jnp.uint32)
+        phase0 = f_int * t0_int                       # wraps mod 2^32
+        i = jnp.arange(n, dtype=jnp.uint32)
+        phase = phase0[:, None] + p_int[:, None] * i[None, :]
+        # bitcast to i32: phase lands in [-pi, pi) after scaling — the
+        # same angle mod 2*pi (and u32->f32 is unsupported on TPU anyway)
+        ang = jax.lax.bitcast_convert_type(
+            phase, jnp.int32).astype(jnp.float32) * two_pi_over_2_32
         re = gain_mult * jnp.sin(ang).sum(axis=0)
         im = gain_mult * jnp.cos(ang).sum(axis=0)
         return re, im
@@ -416,6 +439,7 @@ class StreamingFileIQSource:
         self.gain = gain
         self._stream = None
         self._block = 0
+        self._raw = False
         # open eagerly with a placeholder block to validate the path
         probe = IqStream(path, 1024, depth=1)
         if probe.file_samples == 0:
@@ -423,13 +447,24 @@ class StreamingFileIQSource:
             raise ValueError(f"empty IQ capture: {path}")
         probe.close()
 
-    def read(self, n: int) -> Planes:
-        if self._stream is None or self._block != n:
+    def _ensure_stream(self, n: int, raw: bool):
+        if self._stream is None or self._block != n or self._raw != raw:
             if self._stream is not None:
                 self._stream.close()
-            self._stream = self._IqStream(self._path, n, depth=self._depth)
+            self._stream = self._IqStream(self._path, n, depth=self._depth,
+                                          raw=raw)
             self._block = n
-        return self._stream.read_block()
+            self._raw = raw
+        return self._stream
+
+    def read(self, n: int) -> Planes:
+        return self._ensure_stream(n, raw=False).read_block()
+
+    def read_raw(self, n: int) -> np.ndarray:
+        """Next block as RAW interleaved uint8 (2n bytes), read ahead by
+        the native producer thread — the session's u8 ship path (in-jit
+        decode, 2 B/sample over the host link) keeps native read-ahead."""
+        return self._ensure_stream(n, raw=True).read_block_raw()
 
     def retune(self, center_freq, sample_rate, gain) -> bool:
         self.center_freq = center_freq

@@ -236,7 +236,8 @@ def curscan_auto_batched(iq_re: jax.Array, iq_im: jax.Array,
         if u8:
             iq_re = iq_re.astype(jnp.float32) - 127.0
             iq_im = iq_im.astype(jnp.float32) - 127.0
-        if choice == "lane":
+            u8 = False            # decoded: the fall-through below must not
+        if choice == "lane":      # subtract 127 a second time
             return pallas_curscan.curscan_fused(iq_re, iq_im, cfg)
         if pallas_curscan.supports_fused_packed(cfg):
             return pallas_curscan.curscan_fused_packed(iq_re, iq_im, cfg)

@@ -406,9 +406,23 @@ def run_scan(sess: Session, max_sweeps: Optional[int] = None
     state = sess._resume_state(cfg, "scan") or scan_mod.init_state(cfg, plan)
     adj = None if sess.adj is None else jnp.asarray(sess.adj)
     n = cfg.prg_loop_cnt if max_sweeps is None else max_sweeps
+    band_cadence = sess.render_every == "band" and sess.renderer is not None
+    if band_cadence and sess.mesh is not None \
+            and sess.mesh.shape.get("band", 1) > 1:
+        log_warn("tpuRenderEvery band is not available with a band-sharded "
+                 "mesh (the sweep is one collective dispatch); rendering "
+                 "per sweep")
+        band_cadence = False
     if sess.catch_up > 1 and (sess.mesh is None
                               or sess.mesh.shape.get("band", 1) == 1):
-        return _run_scan_catchup(sess, state, adj, plan, n)
+        if band_cadence:
+            # Per-band redraw is the point of the option; batching S sweeps
+            # per dispatch would drop it silently — honor the cadence.
+            log_warn("tpuRenderEvery band: ignoring tpuCatchUp "
+                     f"{sess.catch_up} (per-band redraw needs the serial "
+                     "sweep loop)")
+        else:
+            return _run_scan_catchup(sess, state, adj, plan, n)
     pf = None
     if sess.sweep_prefetch:
         from kspecanal_tpu.io.prefetch import SweepPrefetcher

@@ -21,6 +21,7 @@ namespace {
 
 struct Slot {
     std::vector<float> re, im;
+    std::vector<uint8_t> raw;   // raw mode: undecoded interleaved bytes
     bool full = false;
 };
 
@@ -29,6 +30,7 @@ struct IqStream {
     size_t block = 0;           // samples per block
     size_t file_samples = 0;    // total complex samples in the file
     size_t pos = 0;             // producer position (samples)
+    bool raw_mode = false;      // ring holds raw u8 blocks, no decode
     std::vector<Slot> ring;
     size_t head = 0, tail = 0;  // producer writes head, consumer reads tail
     size_t count = 0;           // full slots
@@ -38,8 +40,8 @@ struct IqStream {
     std::thread producer;
     std::vector<uint8_t> rawbuf;
 
-    bool fill_block(Slot& s) {
-        // Read 2*block bytes, wrapping at EOF.
+    // Read 2*block interleaved bytes into dst, wrapping at EOF.
+    bool read_bytes(uint8_t* dst) {
         size_t need = block;
         size_t got = 0;
         while (need > 0) {
@@ -50,12 +52,18 @@ struct IqStream {
                 avail = file_samples;
             }
             size_t take = need < avail ? need : avail;
-            size_t nb = fread(rawbuf.data() + 2 * got, 1, 2 * take, f);
+            size_t nb = fread(dst + 2 * got, 1, 2 * take, f);
             if (nb != 2 * take) return false;
             pos += take;
             got += take;
             need -= take;
         }
+        return true;
+    }
+
+    bool fill_block(Slot& s) {
+        if (raw_mode) return read_bytes(s.raw.data());
+        if (!read_bytes(rawbuf.data())) return false;
         for (size_t i = 0; i < block; ++i) {
             s.re[i] = static_cast<float>(rawbuf[2 * i]) - 127.0f;
             s.im[i] = static_cast<float>(rawbuf[2 * i + 1]) - 127.0f;
@@ -85,7 +93,8 @@ struct IqStream {
 
 extern "C" {
 
-void* iqs_open(const char* path, size_t block_samples, int depth) {
+static void* open_common(const char* path, size_t block_samples, int depth,
+                         bool raw_mode) {
     FILE* f = fopen(path, "rb");
     if (!f) return nullptr;
     if (fseek(f, 0, SEEK_END) != 0) { fclose(f); return nullptr; }
@@ -95,14 +104,30 @@ void* iqs_open(const char* path, size_t block_samples, int depth) {
     h->f = f;
     h->block = block_samples;
     h->file_samples = static_cast<size_t>(bytes) / 2;
+    h->raw_mode = raw_mode;
     h->ring.resize(depth > 0 ? depth : 4);
     for (auto& s : h->ring) {
-        s.re.resize(block_samples);
-        s.im.resize(block_samples);
+        if (raw_mode) {
+            s.raw.resize(2 * block_samples);
+        } else {
+            s.re.resize(block_samples);
+            s.im.resize(block_samples);
+        }
     }
-    h->rawbuf.resize(2 * block_samples);
+    if (!raw_mode) h->rawbuf.resize(2 * block_samples);
     h->producer = std::thread(&IqStream::run, h);
     return h;
+}
+
+void* iqs_open(const char* path, size_t block_samples, int depth) {
+    return open_common(path, block_samples, depth, false);
+}
+
+// Raw-mode stream: the ring holds UNDECODED uint8 interleaved IQ blocks
+// (2*block_samples bytes each) — for consumers that ship raw planes to
+// the device and decode in-kernel (2 B/sample over the host link).
+void* iqs_open_raw(const char* path, size_t block_samples, int depth) {
+    return open_common(path, block_samples, depth, true);
 }
 
 // Pop the next decoded block into re/im (block_samples floats each).
@@ -115,6 +140,23 @@ int iqs_read(void* handle, float* re, float* im) {
     Slot& s = h->ring[h->tail];
     std::memcpy(re, s.re.data(), h->block * sizeof(float));
     std::memcpy(im, s.im.data(), h->block * sizeof(float));
+    s.full = false;
+    h->tail = (h->tail + 1) % h->ring.size();
+    --h->count;
+    h->cv_prod.notify_one();
+    return 1;
+}
+
+// Pop the next RAW block (2*block_samples interleaved uint8 bytes).
+// Returns 1 on success, 0 when stopped/errored or not a raw-mode stream.
+int iqs_read_raw(void* handle, uint8_t* out) {
+    auto* h = static_cast<IqStream*>(handle);
+    if (!h->raw_mode) return 0;
+    std::unique_lock<std::mutex> lk(h->mu);
+    h->cv_cons.wait(lk, [&] { return h->stop || h->count > 0; });
+    if (h->count == 0) return 0;
+    Slot& s = h->ring[h->tail];
+    std::memcpy(out, s.raw.data(), 2 * h->block);
     s.full = false;
     h->tail = (h->tail + 1) % h->ring.size();
     --h->count;

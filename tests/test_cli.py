@@ -144,3 +144,13 @@ def test_replay_error_paths(tmp_path):
     garbage.write_bytes(b"\x00\x01notapickle" * 4)
     assert main(["zeroSpanPlay", "zeroSpanPlayFile", str(garbage),
                  "tpuRenderer", "none"]) == 1
+
+
+def test_edge_skip_bins_range_validated():
+    """tpuEdgeSkipBins >= fftSize/2 would leave no inner bins (empty
+    reduction crash deep inside jit) — must be rejected at parse time."""
+    with pytest.raises(ValueError, match="tpuEdgeSkipBins"):
+        parse_args(["zeroSpan", "fftSize", "256", "tpuEdgeSkipBins", "128"])
+    cfg, _ = parse_args(["zeroSpan", "fftSize", "256",
+                         "tpuEdgeSkipBins", "127"])
+    assert cfg.tpu_edge_skip_bins == 127

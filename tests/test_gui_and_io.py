@@ -465,3 +465,49 @@ def test_zero_span_edge_skip_bins(rng):
     for i in range(4):
         st0, view0 = zs.zero_span_step_jit(st0, re[i], im[i], cfg0)
     assert not np.all(np.asarray(view0.cur_lvls)[:8] == floor)
+
+
+def test_devicesynth_phase_precision():
+    """Regression: the device synth's phase must be computed with the
+    int32 fixed-point accumulator — a float32 ``2*pi*f*t`` phase (~1e7
+    rad, ulp ~1 rad) buries the tones in quantization noise.  Demand
+    >= 120 dB windowed peak/median-floor, near the host source's f64
+    math, and tones on the MHz grid."""
+    from kspecanal_tpu.io.sources import DeviceSynthIQSource
+    src = DeviceSynthIQSource(center_freq=92e6, sample_rate=2.4e6,
+                              gain=0.5, seed=3)
+    n = 16384
+    re, im = src.read(n)
+    x = re.astype(np.float64) + 1j * im.astype(np.float64)
+    spec = np.abs(np.fft.fftshift(np.fft.fft(x * np.hanning(n))))
+    freqs = np.fft.fftshift(np.fft.fftfreq(n, 1 / 2.4e6)) + 92e6
+    ratio_db = 20 * np.log10(spec.max() / np.median(spec))
+    assert ratio_db > 120.0, f"tone purity collapsed: {ratio_db:.1f} dB"
+    top3 = sorted(round(f / 1e6, 3) for f in freqs[np.argsort(spec)[-3:]])
+    assert top3 == [91.0, 92.0, 93.0], top3
+
+
+def test_streaming_source_read_raw(tmp_path, rng):
+    """StreamingFileIQSource.read_raw: raw-mode native ring returns the
+    undecoded u8 bytes (so the CLI's preferred file source keeps the
+    session's 2 B/sample ship path), wrapping at EOF."""
+    pytest.importorskip("kspecanal_tpu.io.native_iq")
+    from kspecanal_tpu.io import sources
+    raw = rng.integers(0, 256, size=2 * 3000).astype(np.uint8)
+    p = tmp_path / "cap.iq"
+    p.write_bytes(raw.tobytes())
+    try:
+        src = sources.StreamingFileIQSource(str(p))
+    except OSError:
+        pytest.skip("native build unavailable")
+    try:
+        got = src.read_raw(1024)
+        np.testing.assert_array_equal(got, raw[:2048])
+        got2 = src.read_raw(1024)
+        np.testing.assert_array_equal(got2, raw[2048:4096])
+        # crosses EOF: wraps to the file start
+        got3 = src.read_raw(1024)
+        np.testing.assert_array_equal(got3[:2 * 952], raw[4096:])
+        np.testing.assert_array_equal(got3[2 * 952:], raw[:2 * 72])
+    finally:
+        src.close()

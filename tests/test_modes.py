@@ -486,3 +486,27 @@ def test_session_checkpoint_resume(tmp_path):
     # x_res is part of the fingerprint (heatmap ring width)
     narrower = dataclasses.replace(cfg, x_res=128).finalize()
     assert sess2._resume_state(narrower, "zerospan") is None
+
+
+def test_scan_render_every_band_wins_over_catchup(rng):
+    """tpuRenderEvery band + tpuCatchUp: the per-band cadence is the point
+    of the option, so the session must take the serial sweep loop (with a
+    WARN) instead of silently batching S sweeps per dispatch."""
+    cfg = SpecConfig(prg_mode=MODE_SCAN, start_freq=88e6, end_freq=92e6,
+                     sampling_rate=2e6, fft_size=128, x_res=128,
+                     window=WINDOW_HANNING, cur_scan_non_overlap=0.5).finalize()
+    plan = scan_mod.make_scan_plan(cfg)
+    views = []
+    src = SynthIQSource(sample_rate=cfg.sampling_rate, seed=29)
+    sess = sess_mod.Session(
+        cfg, src, renderer=lambda s, v, p, i, ts: views.append(v),
+        render_every="band", catch_up=8)
+    state = sess_mod.run_scan(sess, max_sweeps=2)
+    assert len(views) == 2 * (plan.num_bands + 1)
+    # identical result to the batched path on the same source stream
+    src2 = SynthIQSource(sample_rate=cfg.sampling_rate, seed=29)
+    sess2 = sess_mod.Session(cfg, src2)
+    state2 = sess_mod.run_scan(sess2, max_sweeps=2)
+    np.testing.assert_allclose(np.asarray(state.fft_avg),
+                               np.asarray(state2.fft_avg),
+                               rtol=2e-5, atol=2e-5)

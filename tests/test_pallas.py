@@ -248,3 +248,28 @@ def test_auto_dispatch_u8_decodes_off_fused_path():
         jnp.asarray(raw_im.astype(np.float32) - 127.0), cfg)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-6, atol=1e-9)
+
+
+def test_auto_dispatch_u8_tpu_fallthrough_decodes_once():
+    """Regression: on a TPU backend with a config no fused/direct branch
+    covers (fft > 256, full_size not a multiple of 128), the u8 decode
+    inside the TPU block must not be applied a second time by the
+    fall-through XLA-chain decode (x-254 corruption)."""
+    from unittest import mock
+    from kspecanal_tpu.config import SpecConfig, WINDOW_HANNING
+    from kspecanal_tpu.ops import spectrum
+    cfg = SpecConfig(prg_mode="ZEROSPAN", fft_size=1000,
+                     sampling_rate=2.4e6, window=WINDOW_HANNING,
+                     cur_scan_non_overlap=0.5, x_res=500).finalize()
+    assert spectrum._fused_choice(cfg) is None
+    rng = np.random.default_rng(33)
+    raw_re = rng.integers(0, 256, (2, cfg.full_size), dtype=np.uint8)
+    raw_im = rng.integers(0, 256, (2, cfg.full_size), dtype=np.uint8)
+    want = spectrum.curscan_batched(
+        jnp.asarray(raw_re.astype(np.float32) - 127.0),
+        jnp.asarray(raw_im.astype(np.float32) - 127.0), cfg)
+    with mock.patch.object(spectrum.jax, "default_backend", lambda: "tpu"):
+        got = spectrum.curscan_auto_batched(
+            jnp.asarray(raw_re), jnp.asarray(raw_im), cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-9)
