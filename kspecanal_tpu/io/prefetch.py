@@ -141,14 +141,18 @@ class SweepPrefetcher:
     """
 
     def __init__(self, source, cfg, plan, depth: int = 2,
-                 limit: int = 0):
+                 limit: int = 0, acquire_fn=None):
         from kspecanal_tpu.session import acquire_sweep
-        self._acquire = acquire_sweep
+        # acquire_fn: alternative sweep acquirer (e.g. acquire_sweep_raw
+        # for u8-shipping sources); must return a tuple whose LAST element
+        # is the `exhausted` flag.
+        self._acquire = acquire_fn if acquire_fn is not None else acquire_sweep
         self._source = source
         self._cfg = cfg
         self._plan = plan
         depth = max(1, min(int(depth), 4))
-        # items: (re (B, full), im, oks (B,), exhausted)
+        # items: acquire_fn tuples, last element = exhausted flag
+        # (default: (re (B, full), im, oks (B,), exhausted))
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._credits = threading.Semaphore(depth)
         self._limit = int(limit) if limit else 0
@@ -201,7 +205,7 @@ class SweepPrefetcher:
                     break
                 except queue.Full:
                     continue
-            if sweep[3]:      # source exhausted: no further sweeps exist
+            if sweep[-1]:     # source exhausted: no further sweeps exist
                 # let get() fall back to synchronous acquire (zero-fill)
                 # instead of waiting forever on an empty queue
                 self._stop.set()

@@ -451,6 +451,23 @@ def sweep_steps_jit(state: ScanState, iq_re, iq_im, retune_ok,
     return state
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "plan"))
+def sweep_steps_u8_jit(state: ScanState, raw, retune_ok,
+                       cfg: SpecConfig, plan: ScanPlan,
+                       adj=None) -> ScanState:
+    """S sweeps from RAW capture bytes (S, num_bands, 2*full_size) uint8
+    interleaved I/Q (octave/load_rtlsdr.m semantics): the deinterleave
+    runs on-device so the host ships 2 B/sample instead of 8 — the same
+    session fast path as ``zero_span_steps_u8_jit``; the fused TPU kernel
+    then decodes the u8 planes in VMEM (4x less HBM read).  The PSD
+    cross-check path decodes eagerly (it runs through the XLA FFT)."""
+    iq_re, iq_im = raw[..., 0::2], raw[..., 1::2]
+    if cfg.b_use_psd:
+        from kspecanal_tpu.parallel.stream import decode_u8_on_device
+        iq_re, iq_im = decode_u8_on_device(raw)
+    return sweep_steps_jit(state, iq_re, iq_im, retune_ok, cfg, plan, adj)
+
+
 def _stitch_sweeps_gathered(state: ScanState, spectra: jax.Array,
                             cfg: SpecConfig, plan: ScanPlan, tbl,
                             adj: Optional[jax.Array]) -> ScanState:

@@ -392,6 +392,30 @@ def acquire_sweep(source: IQSource, cfg: SpecConfig,
             bool(getattr(source, "exhausted", False)))
 
 
+def acquire_sweep_raw(source: IQSource, cfg: SpecConfig,
+                      plan: scan_mod.ScanPlan):
+    """RAW-u8 variant of :func:`acquire_sweep` for sources with
+    ``read_raw``: returns ``(raw (B, 2*full) uint8, oks (B,), exhausted)``
+    — the host ships 2 B/sample instead of 8 and the device deinterleaves
+    + decodes (models.scan.sweep_steps_u8_jit).  A failed retune fills
+    127 bytes (decodes to zero; the sentinel substitution keys off
+    ``oks`` anyway, kspecanal.py:637-639)."""
+    raws, oks = [], []
+    for b in plan.bands:
+        ok = source.retune(b.center_freq, cfg.sampling_rate, cfg.gain)
+        if ok:
+            raw = source.read_raw(cfg.full_size)
+        else:
+            log_warn(f"_scanRange: Dummy data for "
+                     f"{b.center_freq - cfg.sampling_rate/2} to "
+                     f"{b.center_freq + cfg.sampling_rate/2}")
+            raw = np.full(2 * cfg.full_size, 127, np.uint8)
+        raws.append(raw)
+        oks.append(ok)
+    return (np.stack(raws), np.asarray(oks),
+            bool(getattr(source, "exhausted", False)))
+
+
 def sweep_bands(sess: Session, plan: scan_mod.ScanPlan):
     """One sweep as device arrays (see :func:`acquire_sweep`)."""
     re, im, oks, _ = acquire_sweep(sess.source, sess.cfg, plan)
@@ -498,6 +522,11 @@ def _run_scan_catchup(sess: Session, state: scan_mod.ScanState, adj,
     (scan_mod.sweep_steps_jit).  With ``tpuPrefetch`` the sweeps of batch
     k+1 acquire on the read-ahead thread while batch k computes."""
     cfg = sess.cfg
+    # Ship raw u8 when the source supports it (2 B/sample over the host
+    # link; device deinterleaves + the fused kernel decodes in VMEM) —
+    # same fast-path ladder as the zero-span catch-up driver.
+    use_raw = getattr(sess.source, "read_raw", None) is not None
+    acquire = acquire_sweep_raw if use_raw else acquire_sweep
     pf = None
     if sess.sweep_prefetch:
         from kspecanal_tpu.io.prefetch import SweepPrefetcher
@@ -505,7 +534,8 @@ def _run_scan_catchup(sess: Session, state: scan_mod.ScanState, adj,
         # read-ahead); limit stops the worker at the sweeps this run will
         # actually consume so a reused source is not silently advanced.
         pf = SweepPrefetcher(sess.source, cfg, plan,
-                             depth=max(2, sess.catch_up), limit=n)
+                             depth=max(2, sess.catch_up), limit=n,
+                             acquire_fn=acquire)
     done = 0
     prev = time.time()
     try:
@@ -519,9 +549,9 @@ def _run_scan_catchup(sess: Session, state: scan_mod.ScanState, adj,
                                   s * plan.num_bands * cfg.full_size):
                 if pf is not None:
                     sweeps = [pf.get() for _ in range(s)]
-                    exhausted = any(x[3] for x in sweeps)
+                    exhausted = any(x[-1] for x in sweeps)
                 else:
-                    sweeps = [acquire_sweep(sess.source, cfg, plan)
+                    sweeps = [acquire(sess.source, cfg, plan)
                               for _ in range(s)]
                     exhausted = bool(getattr(sess.source, "exhausted",
                                              False))
@@ -529,11 +559,17 @@ def _run_scan_catchup(sess: Session, state: scan_mod.ScanState, adj,
                 log_warn("scanRange: source exhausted; stopping after "
                          "this batch")
                 sess.stop = True
-            re = jnp.asarray(np.stack([x[0] for x in sweeps]))
-            im = jnp.asarray(np.stack([x[1] for x in sweeps]))
-            oks = jnp.asarray(np.stack([x[2] for x in sweeps]))
-            state = scan_mod.sweep_steps_jit(state, re, im, oks, cfg, plan,
-                                             adj)
+            if use_raw:
+                raw = jnp.asarray(np.stack([x[0] for x in sweeps]))
+                oks = jnp.asarray(np.stack([x[1] for x in sweeps]))
+                state = scan_mod.sweep_steps_u8_jit(state, raw, oks, cfg,
+                                                    plan, adj)
+            else:
+                re = jnp.asarray(np.stack([x[0] for x in sweeps]))
+                im = jnp.asarray(np.stack([x[1] for x in sweeps]))
+                oks = jnp.asarray(np.stack([x[2] for x in sweeps]))
+                state = scan_mod.sweep_steps_jit(state, re, im, oks, cfg,
+                                                 plan, adj)
             done += s
             if sess.renderer is not None:
                 view = scan_mod.scan_view_jit(state, adj, cfg, plan)

@@ -510,3 +510,44 @@ def test_scan_render_every_band_wins_over_catchup(rng):
     np.testing.assert_allclose(np.asarray(state.fft_avg),
                                np.asarray(state2.fft_avg),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_scan_catchup_u8_ship_matches_f32(tmp_path, rng):
+    """Scan catch-up with a raw-capable file source ships u8 sweeps
+    (acquire_sweep_raw + sweep_steps_u8_jit) and must equal the decoded
+    f32 path on the same capture, with and without sweep prefetch."""
+    from kspecanal_tpu.io.sources import FileIQSource
+    cfg = SpecConfig(prg_mode=MODE_SCAN, start_freq=88e6, end_freq=92e6,
+                     sampling_rate=2e6, fft_size=128, x_res=128,
+                     window=WINDOW_HANNING, cur_scan_non_overlap=0.5).finalize()
+    raw = rng.integers(0, 256, size=2 * 64 * cfg.full_size).astype(np.uint8)
+    p = tmp_path / "cap.iq"
+    p.write_bytes(raw.tobytes())
+
+    class NoRaw:
+        """FileIQSource facade without read_raw (forces the f32 path)."""
+        def __init__(self, inner):
+            self._inner = inner
+        def read(self, n):
+            return self._inner.read(n)
+        def retune(self, *a):
+            return self._inner.retune(*a)
+        def close(self):
+            self._inner.close()
+        @property
+        def exhausted(self):
+            return self._inner.exhausted
+
+    for prefetch in (False, True):
+        src_u8 = FileIQSource(str(p), sample_rate=cfg.sampling_rate)
+        sess_u8 = sess_mod.Session(cfg, src_u8, catch_up=4,
+                                   sweep_prefetch=prefetch)
+        st_u8 = sess_mod.run_scan(sess_u8, max_sweeps=4)
+        src_f32 = NoRaw(FileIQSource(str(p), sample_rate=cfg.sampling_rate))
+        sess_f32 = sess_mod.Session(cfg, src_f32, catch_up=4,
+                                    sweep_prefetch=prefetch)
+        st_f32 = sess_mod.run_scan(sess_f32, max_sweeps=4)
+        for f in st_u8._fields:
+            np.testing.assert_allclose(
+                np.asarray(getattr(st_u8, f)), np.asarray(getattr(st_f32, f)),
+                rtol=1e-6, atol=1e-6, err_msg=f"{f} prefetch={prefetch}")
