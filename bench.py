@@ -271,12 +271,16 @@ def main():
                      window=WINDOW_KAISER, cur_scan_non_overlap=0.1,
                      x_res=512).finalize()
     c90d = dataclasses.replace(c90, tpu_precision="DEFAULT")
+    # T=4096 keeps >60% of the call on device compute; marginal rates
+    # (T=2048->4096 differencing, r3): 6.4 f32 / 7.0 u8 Gsamp/s = ~75%
+    # of the single-bf16-pass matmul bound at this overlap — near the
+    # wall, the rest is the VPU rotation/select/magnitude work.
     _progress("deep waterfall fft2048 ovl 0.9 DEFAULT...")
     details["fft2048_ovl90_default"] = {
-        "tpu": device_samples_per_s(c90d, t_blocks=2048, iters=5)}
+        "tpu": device_samples_per_s(c90d, t_blocks=4096, iters=5)}
     _progress("deep waterfall fft2048 ovl 0.9 DEFAULT u8-native...")
     details["fft2048_ovl90_default_u8"] = {
-        "tpu": device_u8_samples_per_s(c90d, t_blocks=2048, iters=5)}
+        "tpu": device_u8_samples_per_s(c90d, t_blocks=4096, iters=5)}
 
     # Scan mode (BASELINE config 3): full FM sweeps through the batched
     # gathered stitch (round 3), S sweeps per dispatch
