@@ -162,9 +162,12 @@ class SweepPrefetcher:
         self._worker.start()
 
     def get(self):
-        """Next sweep's ``(re, im, oks, exhausted)`` numpy stacks.
-        Re-raises a worker-side source error; after ``close()`` drains,
-        acquires synchronously as a fallback."""
+        """Next sweep as the ``acquire_fn`` tuple — by default
+        ``(re, im, oks, exhausted)`` numpy stacks, ``(raw, oks,
+        exhausted)`` for the u8-shipping acquirer; the LAST element is
+        always the ``exhausted`` flag.  Re-raises a worker-side source
+        error; after ``close()`` drains, acquires synchronously as a
+        fallback."""
         while True:
             try:
                 sweep = self._q.get(timeout=0.1)

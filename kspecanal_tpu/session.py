@@ -368,28 +368,41 @@ def run_zero_span_play(sess: Session, max_iters: Optional[int] = None
 # Scan (kspecanal.py:568-732)
 # ---------------------------------------------------------------------------
 
-def acquire_sweep(source: IQSource, cfg: SpecConfig,
-                  plan: scan_mod.ScanPlan):
-    """Acquire one sweep's IQ on the host: retune per band, read full_size
-    samples, record retune success (sentinel semantics,
-    kspecanal.py:630-639).  Returns numpy stacks
-    ``(re (B, full), im, oks (B,), exhausted)`` — numpy so the sweep can be
-    produced on a read-ahead thread (io/prefetch.SweepPrefetcher) without
-    touching the device."""
-    res, ims, oks = [], [], []
+def _acquire_sweep_walk(source: IQSource, cfg: SpecConfig,
+                        plan: scan_mod.ScanPlan, read_band, dummy_band):
+    """Shared per-band retune/read walk (sentinel semantics,
+    kspecanal.py:630-639): retune each band, read via ``read_band`` on
+    success or substitute ``dummy_band()`` on a failed retune.  Returns
+    ``(per-band payload list, oks (B,), exhausted)``."""
+    out, oks = [], []
     for b in plan.bands:
         ok = source.retune(b.center_freq, cfg.sampling_rate, cfg.gain)
         if ok:
-            re, im = source.read(cfg.full_size)
+            payload = read_band()
         else:
             log_warn(f"_scanRange: Dummy data for "
                      f"{b.center_freq - cfg.sampling_rate/2} to "
                      f"{b.center_freq + cfg.sampling_rate/2}")
-            re = np.zeros(cfg.full_size, np.float32)
-            im = np.zeros(cfg.full_size, np.float32)
-        res.append(re); ims.append(im); oks.append(ok)
-    return (np.stack(res), np.stack(ims), np.asarray(oks),
-            bool(getattr(source, "exhausted", False)))
+            payload = dummy_band()
+        out.append(payload)
+        oks.append(ok)
+    return out, np.asarray(oks), bool(getattr(source, "exhausted", False))
+
+
+def acquire_sweep(source: IQSource, cfg: SpecConfig,
+                  plan: scan_mod.ScanPlan):
+    """Acquire one sweep's IQ on the host: retune per band, read full_size
+    samples, record retune success.  Returns numpy stacks
+    ``(re (B, full), im, oks (B,), exhausted)`` — numpy so the sweep can be
+    produced on a read-ahead thread (io/prefetch.SweepPrefetcher) without
+    touching the device."""
+    pairs, oks, exhausted = _acquire_sweep_walk(
+        source, cfg, plan,
+        read_band=lambda: source.read(cfg.full_size),
+        dummy_band=lambda: (np.zeros(cfg.full_size, np.float32),
+                            np.zeros(cfg.full_size, np.float32)))
+    return (np.stack([p[0] for p in pairs]), np.stack([p[1] for p in pairs]),
+            oks, exhausted)
 
 
 def acquire_sweep_raw(source: IQSource, cfg: SpecConfig,
@@ -400,20 +413,11 @@ def acquire_sweep_raw(source: IQSource, cfg: SpecConfig,
     + decodes (models.scan.sweep_steps_u8_jit).  A failed retune fills
     127 bytes (decodes to zero; the sentinel substitution keys off
     ``oks`` anyway, kspecanal.py:637-639)."""
-    raws, oks = [], []
-    for b in plan.bands:
-        ok = source.retune(b.center_freq, cfg.sampling_rate, cfg.gain)
-        if ok:
-            raw = source.read_raw(cfg.full_size)
-        else:
-            log_warn(f"_scanRange: Dummy data for "
-                     f"{b.center_freq - cfg.sampling_rate/2} to "
-                     f"{b.center_freq + cfg.sampling_rate/2}")
-            raw = np.full(2 * cfg.full_size, 127, np.uint8)
-        raws.append(raw)
-        oks.append(ok)
-    return (np.stack(raws), np.asarray(oks),
-            bool(getattr(source, "exhausted", False)))
+    raws, oks, exhausted = _acquire_sweep_walk(
+        source, cfg, plan,
+        read_band=lambda: source.read_raw(cfg.full_size),
+        dummy_band=lambda: np.full(2 * cfg.full_size, 127, np.uint8))
+    return np.stack(raws), oks, exhausted
 
 
 def sweep_bands(sess: Session, plan: scan_mod.ScanPlan):
