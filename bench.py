@@ -170,9 +170,16 @@ def session_samples_per_s(source_kind: str, n_iters: int = 1024,
         tmp.write(rng.integers(0, 256, 64 * 2 * cfg.full_size,
                                dtype=np.uint8).tobytes())
         tmp.close()
-        src = sources.FileIQSource(tmp.name, center_freq=cfg.center_freq,
-                                   sample_rate=cfg.sampling_rate,
-                                   gain=cfg.gain)
+        # The CLI's preferred file source (native C++ streaming reader,
+        # raw-u8 ring) — fall back to the NumPy reader like cli.make_source
+        try:
+            src = sources.StreamingFileIQSource(
+                tmp.name, center_freq=cfg.center_freq,
+                sample_rate=cfg.sampling_rate, gain=cfg.gain)
+        except (OSError, ImportError):
+            src = sources.FileIQSource(tmp.name, center_freq=cfg.center_freq,
+                                       sample_rate=cfg.sampling_rate,
+                                       gain=cfg.gain)
     else:
         src = sources.DeviceSynthIQSource(center_freq=cfg.center_freq,
                                           sample_rate=cfg.sampling_rate,
@@ -309,8 +316,13 @@ def main():
     # (run_zero_span + tpuCatchUp, renderer off) — not just the kernels.
     _progress("session path (file source, u8 in-jit decode)...")
     details["session_file_u8"] = session_samples_per_s("file")
+    # catch_up=2048 batches past the heatmap-ring depth (exact — the
+    # batched step writes only the rows a sequential run would keep), so
+    # the ~3 ms tunnel RPC amortizes over 33.5 Msamp of device work:
+    # 0.28 -> 1.76 Gsamp/s through the REAL session loop.
     _progress("session path (device synth source)...")
-    details["session_devicesynth"] = session_samples_per_s("devicesynth")
+    details["session_devicesynth"] = session_samples_per_s(
+        "devicesynth", n_iters=16384, catch_up=2048)
 
     result = {
         "metric": "IQ samples/s/chip through windowed-FFT+waterfall chain "

@@ -230,9 +230,15 @@ def zero_span_steps(state: ZeroSpanState, iq_re: jax.Array, iq_im: jax.Array,
 
     disp = dbs if adj is None else dbs - adj[None, :]
     disp = dsp.skip_edge_bins(disp, cfg.tpu_edge_skip_bins)
+    # Ring semantics for ANY batch size: after k sequential writes only
+    # the LAST min(k, HEATMAP_ROWS) rows remain in the ring, so writing
+    # exactly those keeps every .at[] index distinct (a duplicate-index
+    # .set has no ordering guarantee) — k is no longer capped at 128.
+    kw = min(k, HEATMAP_ROWS)
     rows = jax.vmap(
-        lambda d: dsp.compress_1d(d, cfg.plt_compress_hm, cfg.x_res))(disp)
-    ring_idx = (state.hm_index + jnp.arange(k)) % HEATMAP_ROWS
+        lambda d: dsp.compress_1d(d, cfg.plt_compress_hm, cfg.x_res)
+        )(disp[k - kw:])
+    ring_idx = (state.hm_index + (k - kw) + jnp.arange(kw)) % HEATMAP_ROWS
     heatmap = state.heatmap.at[ring_idx].set(rows)
     hm_index = (state.hm_index + k) % HEATMAP_ROWS
 

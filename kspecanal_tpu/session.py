@@ -45,9 +45,12 @@ class Session:
         self.mesh = mesh             # optional jax.sharding.Mesh (time, band)
         # Batched catch-up: blocks per device dispatch in run_zero_span
         # (tpuCatchUp K) — for file/synth sources where the ~2-4 ms
-        # dispatch RPC, not the DSP, bounds throughput.  Capped at the
-        # heatmap ring depth so every serial ring row still gets written.
-        self.catch_up = max(0, min(int(catch_up), 128))
+        # dispatch RPC, not the DSP, bounds throughput.  K > 128 is exact
+        # too (the batched step writes only the last heatmap-ring-depth
+        # rows — all a sequential run would keep); the cap only bounds
+        # host staging memory (4096 blocks of fft2048 geometry = 537 MB
+        # f32 / 134 MB u8).
+        self.catch_up = max(0, min(int(catch_up), 4096))
         # Scan mode: acquire sweep k+1 on a worker thread while sweep k's
         # device step is in flight (io/prefetch.SweepPrefetcher).
         self.sweep_prefetch = bool(sweep_prefetch)

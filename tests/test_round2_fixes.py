@@ -476,3 +476,28 @@ def test_scan_sweep_prefetch_exhaustion_stops(tmp_path):
     state = sess_mod.run_scan(sess, max_sweeps=50)
     assert sess.stop
     assert int(state.sweep) < 50
+
+
+def test_catchup_beyond_ring_depth_matches_serial(tmp_path):
+    """catch_up > HEATMAP_ROWS (128) is exact: the batched step writes
+    only the last ring-depth rows — all a sequential run would keep —
+    and the curve folds' closed-form weights hold for any K (matching
+    serial f32, whose decay contributions underflow past ~150 steps
+    anyway)."""
+    from kspecanal_tpu import session as sess_mod
+    from kspecanal_tpu.config import HEATMAP_ROWS
+    cfg = _mk_cfg(cur_scan_non_overlap=0.5)
+    path = _write_capture(tmp_path, 8 * cfg.full_size)
+    n_iters = HEATMAP_ROWS + 37   # one K=165 batch > ring depth
+    serial = sess_mod.Session(cfg, FileIQSource(path))
+    st_serial = sess_mod.run_zero_span(serial, max_iters=n_iters)
+    batched = sess_mod.Session(cfg, FileIQSource(path), catch_up=n_iters)
+    assert batched.catch_up == n_iters      # no 128 clamp
+    st_batch = sess_mod.run_zero_span(batched, max_iters=n_iters)
+    assert int(st_batch.iteration) == n_iters
+    assert int(st_batch.hm_index) == int(st_serial.hm_index)
+    for f in st_serial._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(st_batch, f)),
+            np.asarray(getattr(st_serial, f)), rtol=2e-5, atol=2e-5,
+            err_msg=f)
