@@ -547,7 +547,11 @@ def _run_scan_catchup(sess: Session, state: scan_mod.ScanState, adj,
     prev = time.time()
     try:
         while done < n and not sess.stop:
-            s = min(sess.catch_up, n - done)
+            # Scan batches stay <= the ring depth: one sweep is B bands x
+            # full_size (vs one block zero-span), so the 4096 zero-span
+            # cap would stage gigabytes here — and s <= 128 also keeps
+            # the gathered-stitch fast path (duplicate-free ring write).
+            s = min(sess.catch_up, 128, n - done)
             cur = time.time()
             sess.iter_times.append(cur - prev)
             log_dbug(f"scanRange:{done}:{cur - prev}")
