@@ -14,8 +14,9 @@ sys.path.insert(0, ".")
 
 import jax  # noqa: E402
 
-if jax.default_backend() not in ("tpu",):
-    jax.config.update("jax_platforms", jax.default_backend())
+# Always pin CPU: a visual smoke render needs no accelerator, and a
+# second TPU client wedges this environment's tunnel (CLAUDE.md).
+jax.config.update("jax_platforms", "cpu")
 
 from kspecanal_tpu.cli import parse_args  # noqa: E402
 from kspecanal_tpu.gui import MatplotlibRenderer  # noqa: E402
