@@ -170,16 +170,12 @@ def session_samples_per_s(source_kind: str, n_iters: int = 1024,
         tmp.write(rng.integers(0, 256, 64 * 2 * cfg.full_size,
                                dtype=np.uint8).tobytes())
         tmp.close()
-        # The CLI's preferred file source (native C++ streaming reader,
-        # raw-u8 ring) — fall back to the NumPy reader like cli.make_source
-        try:
-            src = sources.StreamingFileIQSource(
-                tmp.name, center_freq=cfg.center_freq,
-                sample_rate=cfg.sampling_rate, gain=cfg.gain)
-        except (OSError, ImportError):
-            src = sources.FileIQSource(tmp.name, center_freq=cfg.center_freq,
-                                       sample_rate=cfg.sampling_rate,
-                                       gain=cfg.gain)
+        # The CLI's file-source ladder (native C++ streaming reader with
+        # raw-u8 ring, NumPy fallback) — the bench measures what the CLI
+        # actually constructs.
+        src, _ = sources.make_file_source(
+            tmp.name, center_freq=cfg.center_freq,
+            sample_rate=cfg.sampling_rate, gain=cfg.gain)
     else:
         src = sources.DeviceSynthIQSource(center_freq=cfg.center_freq,
                                           sample_rate=cfg.sampling_rate,
@@ -194,6 +190,7 @@ def session_samples_per_s(source_kind: str, n_iters: int = 1024,
     dt = time.perf_counter() - t0
     _progress(f"  session[{source_kind}] stages: "
               + "; ".join(sess.timer.report().splitlines()))
+    src.close()    # stop the native producer thread before the file goes
     if tmp is not None:
         import os
         os.unlink(tmp.name)

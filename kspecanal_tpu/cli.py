@@ -207,18 +207,13 @@ def make_source(cfg: SpecConfig, run: RunOptions):
                                            sample_rate=cfg.sampling_rate,
                                            gain=0.5)
     if run.source.startswith("file:"):
-        path = run.source[5:]
-        # Prefer the native streaming reader (C++ producer thread, O(block)
-        # memory); fall back to the whole-file NumPy decode without it.
-        try:
-            return sources.StreamingFileIQSource(
-                path, center_freq=cfg.center_freq,
-                sample_rate=cfg.sampling_rate, gain=cfg.gain)
-        except (OSError, ImportError) as e:
-            log_info(f"native IQ stream unavailable ({e}); buffered reader")
-            return sources.FileIQSource(path, center_freq=cfg.center_freq,
-                                        sample_rate=cfg.sampling_rate,
-                                        gain=cfg.gain)
+        src, fallback = sources.make_file_source(
+            run.source[5:], center_freq=cfg.center_freq,
+            sample_rate=cfg.sampling_rate, gain=cfg.gain)
+        if fallback is not None:
+            log_info(f"native IQ stream unavailable ({fallback}); "
+                     "buffered reader")
+        return src
     if run.source == "rtlsdr":
         return sources.RtlSdrSource(center_freq=cfg.center_freq,
                                     sample_rate=cfg.sampling_rate,

@@ -131,6 +131,22 @@ class FileIQSource:
         pass
 
 
+def make_file_source(path: str, center_freq: float, sample_rate: float,
+                     gain: float):
+    """The production file-source ladder (shared by cli.make_source and
+    bench.py so the bench measures what the CLI runs): prefer the native
+    streaming reader (C++ producer thread, O(block) memory, raw-u8 ring);
+    fall back to the whole-file NumPy decode without the toolchain.
+    Returns ``(source, fallback_reason_or_None)``."""
+    try:
+        return StreamingFileIQSource(path, center_freq=center_freq,
+                                     sample_rate=sample_rate,
+                                     gain=gain), None
+    except (OSError, ImportError) as e:
+        return FileIQSource(path, center_freq=center_freq,
+                            sample_rate=sample_rate, gain=gain), str(e)
+
+
 def _grid_tone_offsets(center_freq: float, sample_rate: float,
                        spacing: float) -> np.ndarray:
     """testfft.py:36-55 ``abs_freqs`` grid: one tone per integer multiple

@@ -371,6 +371,9 @@ def run_zero_span_play(sess: Session, max_iters: Optional[int] = None
 # Scan (kspecanal.py:568-732)
 # ---------------------------------------------------------------------------
 
+# Sweeps per device dispatch in scan catch-up (see _run_scan_catchup).
+_SCAN_BATCH_CAP = 128
+
 def _acquire_sweep_walk(source: IQSource, cfg: SpecConfig,
                         plan: scan_mod.ScanPlan, read_band, dummy_band):
     """Shared per-band retune/read walk (sentinel semantics,
@@ -529,6 +532,13 @@ def _run_scan_catchup(sess: Session, state: scan_mod.ScanState, adj,
     (scan_mod.sweep_steps_jit).  With ``tpuPrefetch`` the sweeps of batch
     k+1 acquire on the read-ahead thread while batch k computes."""
     cfg = sess.cfg
+    if sess.catch_up > _SCAN_BATCH_CAP:
+        # One sweep stages B bands x full_size (vs one block zero-span),
+        # so the 4096 zero-span cap would mean gigabytes of host staging
+        # here — and s <= 128 keeps the duplicate-free gathered-stitch
+        # fast path.  Say so instead of silently under-batching.
+        log_warn(f"scan mode batches at most {_SCAN_BATCH_CAP} sweeps per "
+                 f"dispatch (tpuCatchUp {sess.catch_up} requested)")
     # Ship raw u8 when the source supports it (2 B/sample over the host
     # link; device deinterleaves + the fused kernel decodes in VMEM) —
     # same fast-path ladder as the zero-span catch-up driver.
@@ -547,11 +557,7 @@ def _run_scan_catchup(sess: Session, state: scan_mod.ScanState, adj,
     prev = time.time()
     try:
         while done < n and not sess.stop:
-            # Scan batches stay <= the ring depth: one sweep is B bands x
-            # full_size (vs one block zero-span), so the 4096 zero-span
-            # cap would stage gigabytes here — and s <= 128 also keeps
-            # the gathered-stitch fast path (duplicate-free ring write).
-            s = min(sess.catch_up, 128, n - done)
+            s = min(sess.catch_up, _SCAN_BATCH_CAP, n - done)
             cur = time.time()
             sess.iter_times.append(cur - prev)
             log_dbug(f"scanRange:{done}:{cur - prev}")

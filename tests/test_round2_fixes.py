@@ -488,14 +488,15 @@ def test_catchup_beyond_ring_depth_matches_serial(tmp_path):
     from kspecanal_tpu.config import HEATMAP_ROWS
     cfg = _mk_cfg(cur_scan_non_overlap=0.5)
     path = _write_capture(tmp_path, 8 * cfg.full_size)
-    n_iters = HEATMAP_ROWS + 37   # one K=165 batch > ring depth
-    serial = sess_mod.Session(cfg, FileIQSource(path))
+    k = HEATMAP_ROWS + 37         # each batch K=165 > ring depth
+    n_iters = 2 * k               # TWO batches: the second starts from a
+    serial = sess_mod.Session(cfg, FileIQSource(path))   # rotated ring
     st_serial = sess_mod.run_zero_span(serial, max_iters=n_iters)
-    batched = sess_mod.Session(cfg, FileIQSource(path), catch_up=n_iters)
-    assert batched.catch_up == n_iters      # no 128 clamp
+    batched = sess_mod.Session(cfg, FileIQSource(path), catch_up=k)
+    assert batched.catch_up == k            # no 128 clamp
     st_batch = sess_mod.run_zero_span(batched, max_iters=n_iters)
     assert int(st_batch.iteration) == n_iters
-    assert int(st_batch.hm_index) == int(st_serial.hm_index)
+    assert int(st_batch.hm_index) == int(st_serial.hm_index) != 0
     for f in st_serial._fields:
         np.testing.assert_allclose(
             np.asarray(getattr(st_batch, f)),
