@@ -166,6 +166,11 @@ def run_zero_span(sess: Session, max_iters: Optional[int] = None
     n = cfg.prg_loop_cnt if max_iters is None else max_iters
     if sess.catch_up > 1 and sess.mesh is None:
         return _run_zero_span_catchup(sess, state, adj, n)
+    # Serial (reference-cadence) loop still ships raw u8 when the source
+    # offers it: one block per iteration, decoded on-device (2 B/sample
+    # over the host link) — same math as the catch-up path at K=1.
+    raw_read = (getattr(sess.source, "read_raw", None)
+                if sess.mesh is None else None)
     prev = time.time()
     for i in range(n):
         if sess.stop:
@@ -174,8 +179,12 @@ def run_zero_span(sess: Session, max_iters: Optional[int] = None
         sess.iter_times.append(cur - prev)
         log_dbug(f"ZeroSpan:{i}:{cur - prev}")  # kspecanal.py:462
         prev = cur
+        raw = None
         with sess.timer.stage("acquire", cfg.full_size):
-            re, im = sess.source.read(cfg.full_size)
+            if raw_read is not None:
+                raw = raw_read(cfg.full_size)
+            else:
+                re, im = sess.source.read(cfg.full_size)
         if getattr(sess.source, "exhausted", False):
             # Non-wrapping file source ran dry: finish this (zero-padded)
             # block then stop, mirroring the replay EOF -> graceful stop
@@ -183,7 +192,10 @@ def run_zero_span(sess: Session, max_iters: Optional[int] = None
             log_warn("zeroSpan: source exhausted; stopping")
             sess.stop = True
         with sess.timer.stage("dsp", cfg.full_size):
-            if sess.mesh is not None and sess.mesh.shape.get("time", 1) > 1:
+            if raw is not None:
+                state, view = zs.zero_span_steps_u8_jit(
+                    state, jnp.asarray(raw)[None], cfg, adj)
+            elif sess.mesh is not None and sess.mesh.shape.get("time", 1) > 1:
                 # Sequence-parallel: this capture's sample axis sharded
                 # over the mesh ring (halo exchange inside); display half
                 # of the step runs on the replicated spectrum.
