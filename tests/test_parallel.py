@@ -262,3 +262,30 @@ def test_raw_u8_device_decode_matches_host():
     np.testing.assert_allclose(np.asarray(got.fft_avg),
                                np.asarray(want.fft_avg),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_waterfall_stream_sharded_u8_planes(rng):
+    """Raw uint8 planes compose with the time-sharded stream (pods get
+    the 2 B/sample host link too): identical to the f32-decoded sharded
+    run and to the unsharded u8 run."""
+    from kspecanal_tpu.parallel.stream import (waterfall_stream,
+                                               waterfall_stream_sharded)
+    cfg = SpecConfig(prg_mode="ZEROSPAN", fft_size=256, sampling_rate=2.4e6,
+                     window=WINDOW_HANNING, cur_scan_non_overlap=0.5,
+                     x_res=256).finalize()
+    mesh = make_mesh(time=4)
+    t = 8
+    u8r = jnp.asarray(rng.integers(0, 256, (t, cfg.full_size)).astype("uint8"))
+    u8i = jnp.asarray(rng.integers(0, 256, (t, cfg.full_size)).astype("uint8"))
+    got = waterfall_stream_sharded(u8r, u8i, cfg, mesh)
+    want = waterfall_stream_sharded(
+        u8r.astype(jnp.float32) - 127.0, u8i.astype(jnp.float32) - 127.0,
+        cfg, mesh)
+    base = waterfall_stream(u8r, u8i, cfg)
+    for f in got._fields:
+        np.testing.assert_allclose(np.asarray(getattr(got, f)),
+                                   np.asarray(getattr(want, f)),
+                                   rtol=1e-6, atol=1e-6, err_msg=f)
+        np.testing.assert_allclose(np.asarray(getattr(got, f)),
+                                   np.asarray(getattr(base, f)),
+                                   rtol=1e-5, atol=1e-5, err_msg=f)
