@@ -469,19 +469,26 @@ def run_scan(sess: Session, max_sweeps: Optional[int] = None
                      "sweep loop)")
         else:
             return _run_scan_catchup(sess, state, adj, plan, n)
+    # Serial sweep loop ships raw u8 too when the source offers it and
+    # no mesh shards the bands (the band-sharded body takes f32 planes).
+    use_raw = (getattr(sess.source, "read_raw", None) is not None
+               and (sess.mesh is None
+                    or sess.mesh.shape.get("band", 1) == 1))
     pf = None
     if sess.sweep_prefetch:
         from kspecanal_tpu.io.prefetch import SweepPrefetcher
-        pf = SweepPrefetcher(sess.source, cfg, plan, limit=n)
+        pf = SweepPrefetcher(sess.source, cfg, plan, limit=n,
+                             acquire_fn=(acquire_sweep_raw if use_raw
+                                         else acquire_sweep))
     try:
-        return _run_scan_loop(sess, state, adj, plan, n, pf)
+        return _run_scan_loop(sess, state, adj, plan, n, pf, use_raw)
     finally:
         if pf is not None:
             pf.close()
 
 
 def _run_scan_loop(sess: Session, state, adj, plan: scan_mod.ScanPlan,
-                   n: int, pf) -> scan_mod.ScanState:
+                   n: int, pf, use_raw: bool = False) -> scan_mod.ScanState:
     cfg = sess.cfg
     prev = time.time()
     for i in range(n):
@@ -493,12 +500,28 @@ def _run_scan_loop(sess: Session, state, adj, plan: scan_mod.ScanPlan,
         prev = cur
         with sess.timer.stage("acquire", plan.num_bands * cfg.full_size):
             if pf is not None:
-                re_np, im_np, oks_np, exhausted = pf.get()
-                re, im, oks = (jnp.asarray(re_np), jnp.asarray(im_np),
-                               jnp.asarray(oks_np))
+                sweep = pf.get()
+                exhausted = bool(sweep[-1])
+            elif use_raw:
+                sweep = acquire_sweep_raw(sess.source, cfg, plan)
+                exhausted = bool(sweep[-1])
             else:
+                sweep = None
                 re, im, oks = sweep_bands(sess, plan)
                 exhausted = bool(getattr(sess.source, "exhausted", False))
+            if sweep is not None and use_raw:
+                # u8 PLANES via on-device deinterleave (2 B/sample ship);
+                # every consumer below routes them through
+                # curscan_auto_batched, which decodes in-kernel/in-XLA.
+                raw = jnp.asarray(sweep[0])
+                re, im = raw[..., 0::2], raw[..., 1::2]
+                if cfg.b_use_psd:   # the PSD cross-check needs floats
+                    re = re.astype(jnp.float32) - 127.0
+                    im = im.astype(jnp.float32) - 127.0
+                oks = jnp.asarray(sweep[1])
+            elif sweep is not None:
+                re, im, oks = (jnp.asarray(sweep[0]), jnp.asarray(sweep[1]),
+                               jnp.asarray(sweep[2]))
         if exhausted:
             log_warn("scanRange: source exhausted; stopping after "
                      "this sweep")

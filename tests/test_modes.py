@@ -551,3 +551,50 @@ def test_scan_catchup_u8_ship_matches_f32(tmp_path, rng):
             np.testing.assert_allclose(
                 np.asarray(getattr(st_u8, f)), np.asarray(getattr(st_f32, f)),
                 rtol=1e-6, atol=1e-6, err_msg=f"{f} prefetch={prefetch}")
+
+
+def test_scan_serial_u8_ship_matches_f32(tmp_path, rng):
+    """The SERIAL sweep loop (no catch-up) also ships u8 from raw-capable
+    sources — including with sweep prefetch and the per-band render
+    cadence — and must equal the decoded-f32 driver exactly."""
+    from kspecanal_tpu.io.sources import FileIQSource
+    cfg = SpecConfig(prg_mode=MODE_SCAN, start_freq=88e6, end_freq=92e6,
+                     sampling_rate=2e6, fft_size=128, x_res=128,
+                     window=WINDOW_HANNING, cur_scan_non_overlap=0.5).finalize()
+    raw = rng.integers(0, 256, size=2 * 64 * cfg.full_size).astype(np.uint8)
+    p = tmp_path / "cap.iq"
+    p.write_bytes(raw.tobytes())
+
+    class NoRaw:
+        def __init__(self, inner):
+            self._inner = inner
+        def read(self, n):
+            return self._inner.read(n)
+        def retune(self, *a):
+            return self._inner.retune(*a)
+        def close(self):
+            self._inner.close()
+        @property
+        def exhausted(self):
+            return self._inner.exhausted
+
+    for prefetch, cadence in ((False, "sweep"), (True, "sweep"),
+                              (False, "band")):
+        views = []
+        renderer = ((lambda s, v, pk, i, ts: views.append(v))
+                    if cadence == "band" else None)
+        src = FileIQSource(str(p), sample_rate=cfg.sampling_rate)
+        sess = sess_mod.Session(cfg, src, renderer=renderer,
+                                sweep_prefetch=prefetch,
+                                render_every=cadence)
+        st_u8 = sess_mod.run_scan(sess, max_sweeps=3)
+        src2 = NoRaw(FileIQSource(str(p), sample_rate=cfg.sampling_rate))
+        sess2 = sess_mod.Session(cfg, src2, renderer=renderer,
+                                 sweep_prefetch=prefetch,
+                                 render_every=cadence)
+        st_f32 = sess_mod.run_scan(sess2, max_sweeps=3)
+        for f in st_u8._fields:
+            np.testing.assert_allclose(
+                np.asarray(getattr(st_u8, f)), np.asarray(getattr(st_f32, f)),
+                rtol=1e-6, atol=1e-6,
+                err_msg=f"{f} prefetch={prefetch} cadence={cadence}")
