@@ -33,6 +33,13 @@ class PrefetchingSource:
     def __init__(self, inner, block_size: int, depth: int = 4):
         self._inner = inner
         self._block = block_size
+        # Raw-capable inner sources are prefetched as RAW u8 blocks so the
+        # session's 2 B/sample ship path survives the wrapper; read_raw is
+        # exposed per-instance only when the inner source offers it (the
+        # drivers feature-detect with getattr).
+        self._raw = hasattr(inner, "read_raw")
+        if self._raw:
+            self.read_raw = self._pop_raw
         # Queue items are (epoch, block): a block read under tuning epoch k
         # is discarded by read() once a retune has bumped the epoch, even if
         # the worker enqueued it AFTER retune() drained the queue (the
@@ -59,10 +66,16 @@ class PrefetchingSource:
     def gain(self):
         return self._inner.gain
 
-    def read(self, n: int) -> Planes:
+    @property
+    def exhausted(self):
+        # Forward the non-wrapping-source EOF flag so the drivers' graceful
+        # stop (kspecanal.py:559-564 contract) survives the wrapper.
+        return bool(getattr(self._inner, "exhausted", False))
+
+    def _pop_block(self, n: int, read_through):
         if n != self._block:
             with self._lock:
-                return self._inner.read(n)
+                return read_through(n)
         while True:
             try:
                 epoch, block = self._q.get(timeout=0.1)
@@ -72,7 +85,18 @@ class PrefetchingSource:
             except queue.Empty:
                 if self._stop.is_set():
                     with self._lock:
-                        return self._inner.read(n)
+                        return read_through(n)
+
+    def read(self, n: int) -> Planes:
+        if self._raw:
+            raw = self._pop_block(n, self._inner.read_raw)
+            x = raw.astype(np.float32) - np.float32(127.0)
+            return (np.ascontiguousarray(x[0::2]),
+                    np.ascontiguousarray(x[1::2]))
+        return self._pop_block(n, self._inner.read)
+
+    def _pop_raw(self, n: int) -> np.ndarray:
+        return self._pop_block(n, self._inner.read_raw)
 
     def retune(self, center_freq, sample_rate, gain) -> bool:
         self._gen.clear()          # pause the worker
@@ -104,7 +128,8 @@ class PrefetchingSource:
                 if self._stop.is_set():
                     return
                 epoch = self._epoch
-                block = self._inner.read(self._block)
+                block = (self._inner.read_raw(self._block) if self._raw
+                         else self._inner.read(self._block))
             try:
                 self._q.put((epoch, block), timeout=0.5)
             except queue.Full:

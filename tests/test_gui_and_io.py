@@ -511,3 +511,36 @@ def test_streaming_source_read_raw(tmp_path, rng):
         np.testing.assert_array_equal(got3[2 * 952:], raw[:2 * 72])
     finally:
         src.close()
+
+
+def test_prefetching_source_carries_raw(tmp_path, rng):
+    """PrefetchingSource preserves the raw-u8 ship path for raw-capable
+    sources: read_raw pops prefetched raw blocks identical to the
+    unwrapped source, and read() decodes the same stream."""
+    from kspecanal_tpu.io.prefetch import PrefetchingSource
+    from kspecanal_tpu.io.sources import FileIQSource
+    raw = rng.integers(0, 256, size=2 * 4096).astype(np.uint8)
+    p = tmp_path / "cap.iq"
+    p.write_bytes(raw.tobytes())
+    src = PrefetchingSource(FileIQSource(str(p)), block_size=1024)
+    assert hasattr(src, "read_raw")
+    try:
+        got = np.concatenate([src.read_raw(1024) for _ in range(3)])
+        np.testing.assert_array_equal(got, raw[:3 * 2048])
+    finally:
+        src.close()
+    # a non-raw inner source must NOT grow a read_raw
+    class PlanesOnly:
+        def read(self, n):
+            return (np.zeros(n, np.float32), np.zeros(n, np.float32))
+        def retune(self, *a):
+            return True
+        def close(self):
+            pass
+    src2 = PrefetchingSource(PlanesOnly(), block_size=64)
+    try:
+        assert not hasattr(src2, "read_raw")
+        re, im = src2.read(64)
+        assert re.shape == (64,)
+    finally:
+        src2.close()
