@@ -194,7 +194,7 @@ def run_zero_span(sess: Session, max_iters: Optional[int] = None
         with sess.timer.stage("dsp", cfg.full_size):
             if raw is not None:
                 state, view = zs.zero_span_steps_u8_jit(
-                    state, jnp.asarray(raw)[None], cfg, adj)
+                    state, jnp.asarray(raw[None]), cfg, adj)
             elif sess.mesh is not None and sess.mesh.shape.get("time", 1) > 1:
                 # Sequence-parallel: this capture's sample axis sharded
                 # over the mesh ring (halo exchange inside); display half
@@ -510,14 +510,18 @@ def _run_scan_loop(sess: Session, state, adj, plan: scan_mod.ScanPlan,
                 re, im, oks = sweep_bands(sess, plan)
                 exhausted = bool(getattr(sess.source, "exhausted", False))
             if sweep is not None and use_raw:
-                # u8 PLANES via on-device deinterleave (2 B/sample ship);
-                # every consumer below routes them through
+                # Deinterleave on HOST into u8 planes (cheap np slicing;
+                # eager device slices would cost extra RPC dispatches per
+                # sweep) — still 2 B/sample over the link, and every
+                # consumer below routes the u8 planes through
                 # curscan_auto_batched, which decodes in-kernel/in-XLA.
-                raw = jnp.asarray(sweep[0])
-                re, im = raw[..., 0::2], raw[..., 1::2]
+                raw_np = sweep[0]
+                re_np = np.ascontiguousarray(raw_np[..., 0::2])
+                im_np = np.ascontiguousarray(raw_np[..., 1::2])
                 if cfg.b_use_psd:   # the PSD cross-check needs floats
-                    re = re.astype(jnp.float32) - 127.0
-                    im = im.astype(jnp.float32) - 127.0
+                    re_np = re_np.astype(np.float32) - np.float32(127.0)
+                    im_np = im_np.astype(np.float32) - np.float32(127.0)
+                re, im = jnp.asarray(re_np), jnp.asarray(im_np)
                 oks = jnp.asarray(sweep[1])
             elif sweep is not None:
                 re, im, oks = (jnp.asarray(sweep[0]), jnp.asarray(sweep[1]),
