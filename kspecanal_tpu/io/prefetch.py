@@ -40,11 +40,14 @@ class PrefetchingSource:
         self._raw = hasattr(inner, "read_raw")
         if self._raw:
             self.read_raw = self._pop_raw
-        # Queue items are (epoch, block): a block read under tuning epoch k
-        # is discarded by read() once a retune has bumped the epoch, even if
-        # the worker enqueued it AFTER retune() drained the queue (the
-        # worker may sit between releasing the lock and put()).
-        self._q: "queue.Queue[Tuple[int, Planes]]" = queue.Queue(maxsize=depth)
+        self._popped_exhausted = False
+        # Queue items are (epoch, block, exhausted): a block read under
+        # tuning epoch k is discarded by read() once a retune has bumped
+        # the epoch, even if the worker enqueued it AFTER retune() drained
+        # the queue (the worker may sit between releasing the lock and
+        # put()); `exhausted` is the inner EOF flag AT READ TIME, carried
+        # per item like SweepPrefetcher does.
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._epoch = 0
         self._stop = threading.Event()
         self._gen = threading.Event()
@@ -68,31 +71,45 @@ class PrefetchingSource:
 
     @property
     def exhausted(self):
-        # Forward the non-wrapping-source EOF flag so the drivers' graceful
-        # stop (kspecanal.py:559-564 contract) survives the wrapper.
-        return bool(getattr(self._inner, "exhausted", False))
+        # EOF flag as observed when the block the consumer LAST POPPED was
+        # read — NOT the inner source's live flag: the worker runs up to
+        # depth+1 blocks ahead, so the live flag would make drivers stop
+        # early and silently drop real prefetched data (the graceful-stop
+        # contract is per-consumed-block, kspecanal.py:559-564).
+        return self._popped_exhausted
 
     def _pop_block(self, n: int, read_through):
         if n != self._block:
             with self._lock:
-                return read_through(n)
+                out = read_through(n)
+                self._popped_exhausted = bool(
+                    getattr(self._inner, "exhausted", False))
+                return out
         while True:
             try:
-                epoch, block = self._q.get(timeout=0.1)
+                epoch, block, exh = self._q.get(timeout=0.1)
                 if epoch == self._epoch:
+                    self._popped_exhausted = exh
                     return block
                 # stale: read at a pre-retune tuning — drop and keep waiting
             except queue.Empty:
                 if self._stop.is_set():
                     with self._lock:
-                        return read_through(n)
+                        out = read_through(n)
+                        self._popped_exhausted = bool(
+                            getattr(self._inner, "exhausted", False))
+                        return out
 
     def read(self, n: int) -> Planes:
         if self._raw:
             raw = self._pop_block(n, self._inner.read_raw)
-            x = raw.astype(np.float32) - np.float32(127.0)
-            return (np.ascontiguousarray(x[0::2]),
-                    np.ascontiguousarray(x[1::2]))
+            try:                    # native fused decode (~10x NumPy)
+                from kspecanal_tpu.io import native_iq
+                return native_iq.decode_u8_iq(raw)
+            except (ImportError, OSError):
+                x = raw.astype(np.float32) - np.float32(127.0)
+                return (np.ascontiguousarray(x[0::2]),
+                        np.ascontiguousarray(x[1::2]))
         return self._pop_block(n, self._inner.read)
 
     def _pop_raw(self, n: int) -> np.ndarray:
@@ -102,13 +119,19 @@ class PrefetchingSource:
         self._gen.clear()          # pause the worker
         with self._lock:
             ok = self._inner.retune(center_freq, sample_rate, gain)
-            self._epoch += 1       # invalidates in-flight worker blocks too
-            # drop now-stale prefetched blocks
-            while True:
-                try:
-                    self._q.get_nowait()
-                except queue.Empty:
-                    break
+            # Sources whose data does not depend on the tuning (recorded
+            # captures) declare retune_invalidates=False: their prefetched
+            # blocks stay valid, and flushing would permanently DROP data
+            # from a non-wrapping file (the worker reads ahead of the
+            # driver's initial retune).
+            if getattr(self._inner, "retune_invalidates", True):
+                self._epoch += 1   # invalidates in-flight worker blocks too
+                # drop now-stale prefetched blocks
+                while True:
+                    try:
+                        self._q.get_nowait()
+                    except queue.Empty:
+                        break
         self._gen.set()
         return ok
 
@@ -130,14 +153,16 @@ class PrefetchingSource:
                 epoch = self._epoch
                 block = (self._inner.read_raw(self._block) if self._raw
                          else self._inner.read(self._block))
+                exh = bool(getattr(self._inner, "exhausted", False))
+            item = (epoch, block, exh)
             try:
-                self._q.put((epoch, block), timeout=0.5)
+                self._q.put(item, timeout=0.5)
             except queue.Full:
                 # consumer is slower than the source; drop nothing, retry —
                 # put() re-attempted with the same block next loop
                 while not self._stop.is_set():
                     try:
-                        self._q.put((epoch, block), timeout=0.5)
+                        self._q.put(item, timeout=0.5)
                         break
                     except queue.Full:
                         continue

@@ -111,6 +111,10 @@ class FileIQSource:
                 self._pos = 0
         return out
 
+    # Recorded data does not change under retune: a prefetch wrapper may
+    # keep read-ahead blocks across retunes (io/prefetch.py).
+    retune_invalidates = False
+
     def read(self, n: int) -> Planes:
         raw = self.read_raw(n)
         try:
@@ -462,6 +466,9 @@ class StreamingFileIQSource:
             probe.close()
             raise ValueError(f"empty IQ capture: {path}")
         probe.close()
+
+    # Recorded data does not change under retune (see FileIQSource).
+    retune_invalidates = False
 
     def _ensure_stream(self, n: int, raw: bool):
         if self._stream is None or self._block != n or self._raw != raw:

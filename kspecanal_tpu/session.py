@@ -168,9 +168,11 @@ def run_zero_span(sess: Session, max_iters: Optional[int] = None
         return _run_zero_span_catchup(sess, state, adj, n)
     # Serial (reference-cadence) loop still ships raw u8 when the source
     # offers it: one block per iteration, decoded on-device (2 B/sample
-    # over the host link) — same math as the catch-up path at K=1.
+    # over the host link) — same math as the catch-up path at K=1.  Only
+    # an actually-sharded time axis opts out (its body takes f32 planes).
     raw_read = (getattr(sess.source, "read_raw", None)
-                if sess.mesh is None else None)
+                if (sess.mesh is None
+                    or sess.mesh.shape.get("time", 1) == 1) else None)
     prev = time.time()
     for i in range(n):
         if sess.stop:

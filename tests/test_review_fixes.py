@@ -144,7 +144,7 @@ def test_prefetch_discards_pre_retune_blocks():
         assert src.retune(95e6, 2.4e6, 10.0)  # epoch -> 1, queue drained
         marker = (np.full(2048, -12345.0, np.float32),
                   np.full(2048, -12345.0, np.float32))
-        src._q.put((0, marker))              # stale late-enqueued block
+        src._q.put((0, marker, False))       # stale late-enqueued block
         re, _ = src.read(2048)
         assert not np.any(re == -12345.0)
     finally:

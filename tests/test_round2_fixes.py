@@ -502,3 +502,65 @@ def test_catchup_beyond_ring_depth_matches_serial(tmp_path):
             np.asarray(getattr(st_batch, f)),
             np.asarray(getattr(st_serial, f)), rtol=2e-5, atol=2e-5,
             err_msg=f)
+
+
+class _NoRawFile:
+    """FileIQSource facade without read_raw — forces the f32 ship path."""
+
+    def __init__(self, path, **kw):
+        self._inner = FileIQSource(path, **kw)
+
+    def read(self, n):
+        return self._inner.read(n)
+
+    def retune(self, *a):
+        return self._inner.retune(*a)
+
+    def close(self):
+        self._inner.close()
+
+    @property
+    def exhausted(self):
+        return self._inner.exhausted
+
+
+def test_zero_span_u8_and_f32_drivers_agree(tmp_path):
+    """All four zero-span drivers — serial-u8, serial-f32, batched-u8,
+    batched-f32 — produce the identical state on the same capture (the
+    raw-capable FileIQSource silently switched the older parity tests to
+    u8-vs-u8; this pins the full u8 x f32, serial x batched matrix)."""
+    from kspecanal_tpu import session as sess_mod
+    cfg = _mk_cfg(cur_scan_non_overlap=0.5)
+    path = _write_capture(tmp_path, 8 * cfg.full_size)
+    n_iters = 9
+
+    def run(raw, catch_up):
+        mk = FileIQSource if raw else _NoRawFile
+        sess = sess_mod.Session(cfg, mk(path), catch_up=catch_up)
+        return sess_mod.run_zero_span(sess, max_iters=n_iters)
+
+    ref = run(False, 0)                       # serial f32
+    for raw, cu, label in ((True, 0, "serial-u8"), (True, 4, "batched-u8"),
+                           (False, 4, "batched-f32")):
+        st = run(raw, cu)
+        for f in ref._fields:
+            np.testing.assert_allclose(
+                np.asarray(getattr(st, f)), np.asarray(getattr(ref, f)),
+                rtol=2e-5, atol=2e-5, err_msg=f"{label}:{f}")
+
+
+def test_prefetching_source_exhausted_is_per_popped_block(tmp_path):
+    """A prefetch worker that has already hit EOF upstream must NOT make
+    the driver stop early: exhausted reflects the block the consumer last
+    popped, so every real block is processed before the graceful stop."""
+    from kspecanal_tpu.io.prefetch import PrefetchingSource
+    cfg = _mk_cfg(cur_scan_non_overlap=0.5)
+    n_blocks = 10
+    path = _write_capture(tmp_path, n_blocks * cfg.full_size)
+    from kspecanal_tpu import session as sess_mod
+    src = PrefetchingSource(FileIQSource(path, wrap=False),
+                            block_size=cfg.full_size, depth=4)
+    sess = sess_mod.Session(cfg, src)
+    st = sess_mod.run_zero_span(sess, max_iters=n_blocks + 5)
+    # all 10 real blocks consumed; the padded EOF block stops the loop
+    assert int(st.iteration) >= n_blocks
