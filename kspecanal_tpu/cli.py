@@ -242,6 +242,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                 # (every retune flushes the queue); scan mode reads ahead
                 # at whole-sweep granularity instead (SweepPrefetcher).
                 sweep_prefetch = True
+            elif hasattr(source, "read_device_batch"):
+                # devicesynth generates ON the accelerator — a host-side
+                # read-ahead wrapper would only hide that fast path.
+                log_info("tpuPrefetch: ignored for on-device sources")
             else:
                 from kspecanal_tpu.io.prefetch import PrefetchingSource
                 source = PrefetchingSource(source, block_size=cfg.full_size)
