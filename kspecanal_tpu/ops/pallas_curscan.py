@@ -800,21 +800,36 @@ def _auto_t_tile_packed(cfg: SpecConfig, t: int) -> int:
     nv = len({(s % n2) % cfg.fft_size for s in cfg.window_starts})
     # inputs (2 planes x 2 bufs) + ar/ai/dr/di/mag/wm/wtbl (~9 arrays)
     per_block = (2 * 2 * rows + 9 * nv * rows) * n2 * 4
-    for cand in (128, 64, 32, 16, 8, 4, 2, 1):
-        if t % cand == 0 and cand * per_block <= _T_TILE_VMEM_BUDGET // 2:
+    # Mosaic requires the out block's second-minor dim (t_tile) to be
+    # divisible by 8 (interpret mode accepts anything — only hardware
+    # rejects e.g. t_tile=2 for an odd T like quickFullScan's 1225-band
+    # sweep); the caller zero-pads T up to a t_tile multiple.
+    for cand in (128, 64, 32, 16, 8):
+        if cand * per_block <= _T_TILE_VMEM_BUDGET // 2:
             return cand
-    return 1
+    return 8
 
 
 def curscan_fused_packed(iq_re: jax.Array, iq_im: jax.Array,
                          cfg: SpecConfig, t_tile: int = 0) -> jax.Array:
     """Packed small-FFT curscan: (T, full_size) -> (T, fft_size) fftshifted
     linear spectra, reading each input sample once.  Requires
-    ``supports_fused_packed(cfg)``."""
+    ``supports_fused_packed(cfg)``.
+
+    T is zero-padded up to a ``t_tile`` multiple (padded blocks' windows
+    carry weight/mask like any other; their rows are sliced off) so any
+    batch size lowers on hardware — Mosaic needs the out-block sublane
+    dim divisible by 8."""
     if not supports_fused_packed(cfg):
         raise ValueError("config not supported by packed small kernel")
     t = iq_re.shape[0]
     if t_tile <= 0:
         t_tile = _auto_t_tile_packed(cfg, t)
+    pad = (-t) % t_tile
+    if pad:
+        zr = jnp.zeros((pad, iq_re.shape[1]), iq_re.dtype)
+        iq_re = jnp.concatenate([iq_re, zr], axis=0)
+        iq_im = jnp.concatenate([iq_im, zr], axis=0)
     interpret = jax.default_backend() != "tpu"
-    return _build_packed(cfg, interpret, t_tile)(iq_re, iq_im)
+    out = _build_packed(cfg, interpret, t_tile)(iq_re, iq_im)
+    return out[:t] if pad else out

@@ -273,3 +273,27 @@ def test_auto_dispatch_u8_tpu_fallthrough_decodes_once():
             jnp.asarray(raw_re), jnp.asarray(raw_im), cfg)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-6, atol=1e-9)
+
+
+def test_packed_kernel_odd_batch_pads_to_hw_tile():
+    """Mosaic requires the out-block sublane dim (t_tile) divisible by 8;
+    an odd T (quickFullScan: 1225 bands/sweep) must zero-pad rather than
+    fall back to t_tile=2, which only interpret mode accepts (this
+    crashed the real-TPU quickFullScan CLI).  Parity vs the XLA chain on
+    an odd batch through the padding path."""
+    from kspecanal_tpu.config import SpecConfig, WINDOW_ONES
+    from kspecanal_tpu.ops.pallas_curscan import (_auto_t_tile_packed,
+                                                  curscan_fused_packed)
+    cfg = SpecConfig(prg_mode="ZEROSPAN", fft_size=64, sampling_rate=2.4e6,
+                     window=WINDOW_ONES, cur_scan_non_overlap=0.5,
+                     x_res=64).finalize()
+    assert _auto_t_tile_packed(cfg, 1225) % 8 == 0
+    rng = np.random.default_rng(41)
+    t = 13                                 # odd, < t_tile: full-pad path
+    re = jnp.asarray(rng.standard_normal((t, cfg.full_size)), jnp.float32)
+    im = jnp.asarray(rng.standard_normal((t, cfg.full_size)), jnp.float32)
+    got = np.asarray(curscan_fused_packed(re, im, cfg))
+    want = np.asarray(jax.jit(
+        lambda r, i: curscan_batched(r, i, cfg))(re, im))
+    assert got.shape == (t, cfg.fft_size)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
