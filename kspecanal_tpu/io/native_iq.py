@@ -25,16 +25,18 @@ def _load() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                           capture_output=True)
-        except subprocess.CalledProcessError as e:
+    # Always run make: it dependency-checks, so an up-to-date build is a
+    # no-op and a stale .so (older sources, missing symbols) rebuilds.
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True)
+    except (subprocess.CalledProcessError, OSError) as e:
+        if not os.path.exists(_LIB_PATH):
             # Surface as OSError: callers' documented fallback contract is
             # `except (OSError, ImportError)` -> NumPy reader.
-            raise OSError(
-                f"native iqdecode build failed: "
-                f"{e.stderr.decode(errors='replace').strip()[-200:]}") from e
+            err = (e.stderr.decode(errors="replace").strip()[-200:]
+                   if getattr(e, "stderr", None) else str(e))
+            raise OSError(f"native iqdecode build failed: {err}") from e
     lib = ctypes.CDLL(_LIB_PATH)
     lib.iq_decode_u8.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
@@ -88,6 +90,9 @@ def _bind_stream(lib: ctypes.CDLL) -> None:
     lib.iqs_open_raw.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
                                  ctypes.c_int]
     lib.iqs_open_raw.restype = ctypes.c_void_p
+    lib.iqs_open_at.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                ctypes.c_int, ctypes.c_int, ctypes.c_size_t]
+    lib.iqs_open_at.restype = ctypes.c_void_p
     lib.iqs_read.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
                              ctypes.POINTER(ctypes.c_float)]
     lib.iqs_read.restype = ctypes.c_int
@@ -108,13 +113,13 @@ class IqStream:
     """
 
     def __init__(self, path: str, block_samples: int, depth: int = 4,
-                 raw: bool = False):
+                 raw: bool = False, start_sample: int = 0):
         lib = _load()
         _bind_stream(lib)
         self._lib = lib
         self._block = block_samples
-        opener = lib.iqs_open_raw if raw else lib.iqs_open
-        self._h = opener(path.encode(), block_samples, depth)
+        self._h = lib.iqs_open_at(path.encode(), block_samples, depth,
+                                  1 if raw else 0, start_sample)
         if not self._h:
             raise OSError(f"iqs_open failed for {path}")
 

@@ -402,6 +402,10 @@ class RtlSdrSource:
         import rtlsdr  # deferred: optional hardware dependency
         self._rtlsdr = rtlsdr
         self._sdr = rtlsdr.RtlSdr()
+        # Device-caps echo on open (sdr_info, kspecanal.py:281-284).
+        print("INFO:Sdr:SupportedGains:", self._sdr.valid_gains_db)
+        print("INFO:Sdr:Bandwidth:", self._sdr.bandwidth)
+        print("INFO:Sdr:freqCorrection:", self._sdr.freq_correction)
         self.center_freq = center_freq
         self.sample_rate = sample_rate
         self.gain = gain
@@ -460,11 +464,13 @@ class StreamingFileIQSource:
         self._stream = None
         self._block = 0
         self._raw = False
+        self._consumed = 0       # complex samples popped by the consumer
         # open eagerly with a placeholder block to validate the path
         probe = IqStream(path, 1024, depth=1)
         if probe.file_samples == 0:
             probe.close()
             raise ValueError(f"empty IQ capture: {path}")
+        self._file_samples = probe.file_samples
         probe.close()
 
     # Recorded data does not change under retune (see FileIQSource).
@@ -474,20 +480,30 @@ class StreamingFileIQSource:
         if self._stream is None or self._block != n or self._raw != raw:
             if self._stream is not None:
                 self._stream.close()
-            self._stream = self._IqStream(self._path, n, depth=self._depth,
-                                          raw=raw)
+            # Reopen AT the consumer's logical position: the producer
+            # thread read ahead of what was popped, so a plain reopen
+            # would rewind to wherever its file cursor happened to be (or
+            # worse, to 0) and replay data on a block-size or raw/decoded
+            # mode switch.
+            self._stream = self._IqStream(
+                self._path, n, depth=self._depth, raw=raw,
+                start_sample=self._consumed % self._file_samples)
             self._block = n
             self._raw = raw
         return self._stream
 
     def read(self, n: int) -> Planes:
-        return self._ensure_stream(n, raw=False).read_block()
+        out = self._ensure_stream(n, raw=False).read_block()
+        self._consumed += n
+        return out
 
     def read_raw(self, n: int) -> np.ndarray:
         """Next block as RAW interleaved uint8 (2n bytes), read ahead by
         the native producer thread — the session's u8 ship path (in-jit
         decode, 2 B/sample over the host link) keeps native read-ahead."""
-        return self._ensure_stream(n, raw=True).read_block_raw()
+        out = self._ensure_stream(n, raw=True).read_block_raw()
+        self._consumed += n
+        return out
 
     def retune(self, center_freq, sample_rate, gain) -> bool:
         self.center_freq = center_freq

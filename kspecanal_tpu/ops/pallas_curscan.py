@@ -642,11 +642,26 @@ def curscan_fused_sublane(iq_re: jax.Array, iq_im: jax.Array,
 # ---------------------------------------------------------------------------
 
 
+def _packed_block_bytes(cfg: SpecConfig) -> int:
+    """Estimated VMEM bytes one IQ block keeps live in the packed kernel:
+    inputs (2 planes x 2 pipeline buffers) + ar/ai/dr/di/mag/wm/wtbl
+    (~9 view-stacked arrays)."""
+    n2 = _SUBLANE_N2
+    rows = cfg.full_size // n2
+    nv = len({(s % n2) % cfg.fft_size for s in cfg.window_starts})
+    return (2 * 2 * rows + 9 * nv * rows) * n2 * 4
+
+
 def supports_fused_packed(cfg: SpecConfig) -> bool:
     n = cfg.fft_size
-    return (n <= _SUBLANE_N2 and _SUBLANE_N2 % n == 0
+    if not (n <= _SUBLANE_N2 and _SUBLANE_N2 % n == 0
             and cfg.full_size % _SUBLANE_N2 == 0
-            and cfg.full_size >= 2 * _SUBLANE_N2)
+            and cfg.full_size >= 2 * _SUBLANE_N2):
+        return False
+    # Mosaic needs the out-block sublane dim divisible by 8, so t_tile
+    # cannot drop below 8 (_auto_t_tile_packed); a config whose 8-block
+    # footprint exceeds the scoped-VMEM budget must take another path.
+    return 8 * _packed_block_bytes(cfg) <= _T_TILE_VMEM_BUDGET // 2
 
 
 def _packed_geometry(cfg: SpecConfig):
@@ -794,16 +809,14 @@ def _build_packed(cfg: SpecConfig, interpret: bool, t_tile: int):
     return jax.jit(call)
 
 
-def _auto_t_tile_packed(cfg: SpecConfig, t: int) -> int:
-    n2 = _SUBLANE_N2
-    rows = cfg.full_size // n2
-    nv = len({(s % n2) % cfg.fft_size for s in cfg.window_starts})
-    # inputs (2 planes x 2 bufs) + ar/ai/dr/di/mag/wm/wtbl (~9 arrays)
-    per_block = (2 * 2 * rows + 9 * nv * rows) * n2 * 4
+def _auto_t_tile_packed(cfg: SpecConfig) -> int:
+    per_block = _packed_block_bytes(cfg)
     # Mosaic requires the out block's second-minor dim (t_tile) to be
     # divisible by 8 (interpret mode accepts anything — only hardware
     # rejects e.g. t_tile=2 for an odd T like quickFullScan's 1225-band
-    # sweep); the caller zero-pads T up to a t_tile multiple.
+    # sweep); the caller zero-pads T up to a t_tile multiple.  The floor
+    # candidate (8) is guaranteed to fit: supports_fused_packed rejects
+    # configs whose 8-block footprint exceeds the budget.
     for cand in (128, 64, 32, 16, 8):
         if cand * per_block <= _T_TILE_VMEM_BUDGET // 2:
             return cand
@@ -824,7 +837,7 @@ def curscan_fused_packed(iq_re: jax.Array, iq_im: jax.Array,
         raise ValueError("config not supported by packed small kernel")
     t = iq_re.shape[0]
     if t_tile <= 0:
-        t_tile = _auto_t_tile_packed(cfg, t)
+        t_tile = _auto_t_tile_packed(cfg)
     pad = (-t) % t_tile
     if pad:
         zr = jnp.zeros((pad, iq_re.shape[1]), iq_re.dtype)

@@ -94,7 +94,7 @@ struct IqStream {
 extern "C" {
 
 static void* open_common(const char* path, size_t block_samples, int depth,
-                         bool raw_mode) {
+                         bool raw_mode, size_t start_sample) {
     FILE* f = fopen(path, "rb");
     if (!f) return nullptr;
     if (fseek(f, 0, SEEK_END) != 0) { fclose(f); return nullptr; }
@@ -104,6 +104,18 @@ static void* open_common(const char* path, size_t block_samples, int depth,
     h->f = f;
     h->block = block_samples;
     h->file_samples = static_cast<size_t>(bytes) / 2;
+    // Resume mid-capture: a consumer reopening the stream (e.g. to switch
+    // block size or raw mode) passes its logical position so the capture
+    // does not silently rewind to the start.
+    start_sample %= h->file_samples;
+    if (start_sample != 0) {
+        if (fseek(f, static_cast<long>(2 * start_sample), SEEK_SET) != 0) {
+            fclose(f);
+            delete h;
+            return nullptr;
+        }
+        h->pos = start_sample;
+    }
     h->raw_mode = raw_mode;
     h->ring.resize(depth > 0 ? depth : 4);
     for (auto& s : h->ring) {
@@ -120,14 +132,21 @@ static void* open_common(const char* path, size_t block_samples, int depth,
 }
 
 void* iqs_open(const char* path, size_t block_samples, int depth) {
-    return open_common(path, block_samples, depth, false);
+    return open_common(path, block_samples, depth, false, 0);
 }
 
 // Raw-mode stream: the ring holds UNDECODED uint8 interleaved IQ blocks
 // (2*block_samples bytes each) — for consumers that ship raw planes to
 // the device and decode in-kernel (2 B/sample over the host link).
 void* iqs_open_raw(const char* path, size_t block_samples, int depth) {
-    return open_common(path, block_samples, depth, true);
+    return open_common(path, block_samples, depth, true, 0);
+}
+
+// Positioned opener: starts the producer at `start_sample` complex samples
+// into the capture (mod file length).  `raw` selects the ring payload.
+void* iqs_open_at(const char* path, size_t block_samples, int depth,
+                  int raw, size_t start_sample) {
+    return open_common(path, block_samples, depth, raw != 0, start_sample);
 }
 
 // Pop the next decoded block into re/im (block_samples floats each).

@@ -132,7 +132,7 @@ def small_packed():
         re, im = planes[0], planes[1]
         for prec in ("HIGHEST", "DEFAULT"):
             cfg = dataclasses.replace(base, tpu_precision=prec)
-            tt = pk._auto_t_tile_packed(cfg, T)
+            tt = pk._auto_t_tile_packed(cfg)
             meas(jax.jit(lambda r_, i_: pk.curscan_fused_packed(
                 r_, i_, cfg)), re, im,
                 f"packed fft={fft:4d} {prec:7s} (tt={tt})")

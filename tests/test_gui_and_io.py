@@ -544,3 +544,34 @@ def test_prefetching_source_carries_raw(tmp_path, rng):
         assert re.shape == (64,)
     finally:
         src2.close()
+
+
+def test_streaming_source_mode_switch_keeps_position(tmp_path, rng):
+    """Switching between read() and read_raw() (or changing block size)
+    reopens the native stream AT the consumer's position instead of
+    rewinding the capture to the start (round-4 advisor fix): the
+    producer thread reads ahead, so a naive reopen would replay data."""
+    pytest.importorskip("kspecanal_tpu.io.native_iq")
+    from kspecanal_tpu.io import sources
+    raw = rng.integers(0, 256, size=2 * 5000).astype(np.uint8)
+    p = tmp_path / "cap.iq"
+    p.write_bytes(raw.tobytes())
+    try:
+        src = sources.StreamingFileIQSource(str(p))
+    except OSError:
+        pytest.skip("native build unavailable")
+    try:
+        # raw -> decoded switch resumes where the raw reads stopped
+        np.testing.assert_array_equal(src.read_raw(1024), raw[:2048])
+        re, im = src.read(512)
+        want = raw[2048:2048 + 1024].astype(np.float32) - 127.0
+        np.testing.assert_array_equal(re, want[0::2])
+        np.testing.assert_array_equal(im, want[1::2])
+        # decoded -> raw with a DIFFERENT block size: still continuous
+        np.testing.assert_array_equal(src.read_raw(256),
+                                      raw[3072:3072 + 512])
+        # block-size change within one mode: continuous too
+        np.testing.assert_array_equal(src.read_raw(100),
+                                      raw[3584:3584 + 200])
+    finally:
+        src.close()

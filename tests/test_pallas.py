@@ -287,7 +287,7 @@ def test_packed_kernel_odd_batch_pads_to_hw_tile():
     cfg = SpecConfig(prg_mode="ZEROSPAN", fft_size=64, sampling_rate=2.4e6,
                      window=WINDOW_ONES, cur_scan_non_overlap=0.5,
                      x_res=64).finalize()
-    assert _auto_t_tile_packed(cfg, 1225) % 8 == 0
+    assert _auto_t_tile_packed(cfg) % 8 == 0
     rng = np.random.default_rng(41)
     t = 13                                 # odd, < t_tile: full-pad path
     re = jnp.asarray(rng.standard_normal((t, cfg.full_size)), jnp.float32)
