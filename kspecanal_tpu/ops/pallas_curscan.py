@@ -676,7 +676,8 @@ def _packed_geometry(cfg: SpecConfig):
 
 
 def _kernel_packed(re_ref, im_ref, dtr_ref, dti_ref, w_ref, p_ref, out_ref,
-                   *, cfg: SpecConfig, t_tile: int, residues, rows: int):
+                   *, cfg: SpecConfig, t_tile: int, residues, rows: int,
+                   u8: bool):
     n = cfg.fft_size
     n2 = _SUBLANE_N2
     mode = cfg.cur_scan_cumu_mode
@@ -691,6 +692,11 @@ def _kernel_packed(re_ref, im_ref, dtr_ref, dti_ref, w_ref, p_ref, out_ref,
         # belong only to slots whose implied frame would cross the block
         # end, and such slots carry weight/mask 0 (no valid window there).
         flat = ref[...]                                # (tr, n2) 2-D block
+        if u8:
+            # RAW 8-bit ADC planes decode here in VMEM (1 B/sample HBM
+            # read instead of 4).  Mosaic has no unsigned->float lowering;
+            # widen to i32 first (same as the sublane kernel).
+            flat = flat.astype(jnp.int32).astype(jnp.float32) - 127.0
         out = []
         for r in residues:
             if r == 0:
@@ -736,7 +742,8 @@ def _kernel_packed(re_ref, im_ref, dtr_ref, dti_ref, w_ref, p_ref, out_ref,
 
 
 @functools.lru_cache(maxsize=32)
-def _build_packed(cfg: SpecConfig, interpret: bool, t_tile: int):
+def _build_packed(cfg: SpecConfig, interpret: bool, t_tile: int,
+                  u8: bool = False):
     n = cfg.fft_size
     n2 = _SUBLANE_N2
     rows = cfg.full_size // n2
@@ -773,7 +780,7 @@ def _build_packed(cfg: SpecConfig, interpret: bool, t_tile: int):
         proj[l, l % n] = 1.0
 
     kernel = functools.partial(_kernel_packed, cfg=cfg, t_tile=t_tile,
-                               residues=tuple(residues), rows=rows)
+                               residues=tuple(residues), rows=rows, u8=u8)
 
     def whole(shape):
         return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
@@ -832,17 +839,26 @@ def curscan_fused_packed(iq_re: jax.Array, iq_im: jax.Array,
     T is zero-padded up to a ``t_tile`` multiple (padded blocks' windows
     carry weight/mask like any other; their rows are sliced off) so any
     batch size lowers on hardware — Mosaic needs the out-block sublane
-    dim divisible by 8."""
+    dim divisible by 8.
+
+    uint8 inputs are RAW capture planes (value-127 offset,
+    octave/load_rtlsdr.m) decoded IN VMEM, same as the sublane kernel —
+    the quickFullScan/fm_scan production ingest ships 2 B/sample all the
+    way into the kernel."""
     if not supports_fused_packed(cfg):
         raise ValueError("config not supported by packed small kernel")
+    u8 = iq_re.dtype == jnp.uint8
     t = iq_re.shape[0]
     if t_tile <= 0:
         t_tile = _auto_t_tile_packed(cfg)
     pad = (-t) % t_tile
     if pad:
-        zr = jnp.zeros((pad, iq_re.shape[1]), iq_re.dtype)
+        # u8 pads with 127 (decodes to 0.0 in-kernel, matching the f32
+        # zero pad); padded rows are sliced off below either way.
+        fill = 127 if u8 else 0
+        zr = jnp.full((pad, iq_re.shape[1]), fill, iq_re.dtype)
         iq_re = jnp.concatenate([iq_re, zr], axis=0)
         iq_im = jnp.concatenate([iq_im, zr], axis=0)
     interpret = jax.default_backend() != "tpu"
-    out = _build_packed(cfg, interpret, t_tile)(iq_re, iq_im)
+    out = _build_packed(cfg, interpret, t_tile, u8)(iq_re, iq_im)
     return out[:t] if pad else out

@@ -233,14 +233,16 @@ def curscan_auto_batched(iq_re: jax.Array, iq_im: jax.Array,
             # u8 planes pass straight through: the kernel decodes in VMEM
             # (4x less HBM read — the DEFAULT-precision binding limit).
             return pallas_curscan.curscan_fused_sublane(iq_re, iq_im, cfg)
+        if pallas_curscan.supports_fused_packed(cfg):
+            # u8-capable too (in-VMEM decode): the quickFullScan/fm_scan
+            # production ingest keeps 2 B/sample into the kernel.
+            return pallas_curscan.curscan_fused_packed(iq_re, iq_im, cfg)
         if u8:
             iq_re = iq_re.astype(jnp.float32) - 127.0
             iq_im = iq_im.astype(jnp.float32) - 127.0
             u8 = False            # decoded: the fall-through below must not
         if choice == "lane":      # subtract 127 a second time
             return pallas_curscan.curscan_fused(iq_re, iq_im, cfg)
-        if pallas_curscan.supports_fused_packed(cfg):
-            return pallas_curscan.curscan_fused_packed(iq_re, iq_im, cfg)
         if cfg.fft_size <= 256:
             # No fused kernel applies (non-pow2 tiny fft, or 256 with a
             # fractional hop whose full_size misaligns): the direct DFT

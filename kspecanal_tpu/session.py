@@ -118,6 +118,20 @@ class Session:
                           self.cfg.end_freq, self.final_avg)
             log_info(f"_save_siglvls: success... {self.cfg.save_sig_lvls}")
 
+    def _apply_pending_toggles(self, cfg: SpecConfig) -> SpecConfig:
+        """Fold pending GUI toggles into the active config at a step/sweep
+        boundary (the reference's buttons mutate shared state mid-loop,
+        kspecanal.py:994-1053; here the config stays immutable per step
+        and a toggle rebuilds the cached jitted step).  Toggles touch only
+        display/cumulate booleans — never plan geometry — so scan drivers
+        keep their ScanPlan."""
+        if self.renderer is not None and hasattr(self.renderer,
+                                                 "apply_toggles"):
+            new_cfg = self.renderer.apply_toggles(cfg)
+            if new_cfg != cfg:
+                cfg = self.cfg = new_cfg
+        return cfg
+
     def _emit(self, view, iteration: int, timestamp_str: Optional[str] = None,
               with_peaks: bool = True):
         if self.renderer is None:
@@ -218,15 +232,7 @@ def run_zero_span(sess: Session, max_iters: Optional[int] = None
                     state, jnp.asarray(re), jnp.asarray(im), adj, cfg)
         with sess.timer.stage("render"):
             sess._emit(view, i)
-        # Apply pending GUI toggles at the step boundary (the reference's
-        # buttons mutate shared state mid-loop, kspecanal.py:994-1053; here
-        # the config stays immutable per step and a toggle rebuilds the
-        # cached jitted step).
-        if sess.renderer is not None and hasattr(sess.renderer,
-                                                 "apply_toggles"):
-            new_cfg = sess.renderer.apply_toggles(cfg)
-            if new_cfg != cfg:
-                cfg = sess.cfg = new_cfg
+        cfg = sess._apply_pending_toggles(cfg)
     sess.final_avg = np.asarray(state.fft_avg, np.float64)
     sess._checkpoint_state(state, cfg)
     return state
@@ -561,6 +567,11 @@ def _run_scan_loop(sess: Session, state, adj, plan: scan_mod.ScanPlan,
         if sess.renderer is not None:
             view = scan_mod.scan_view_jit(state, adj, cfg, plan)
             sess._emit(view, i)
+        # Sweep-boundary toggle fold: the reference's buttons reach the
+        # scan accumulators too (_scan_range reads bDataMax/bDataMin per
+        # band, kspecanal.py:651-662), so toggling MaxLvls mid-scan must
+        # stop/start cumulation, not just hide the curve.
+        cfg = sess._apply_pending_toggles(cfg)
     sess.final_avg = np.asarray(state.fft_avg, np.float64)
     sess._checkpoint_state(state, cfg)
     return state
@@ -632,6 +643,9 @@ def _run_scan_catchup(sess: Session, state: scan_mod.ScanState, adj,
             if sess.renderer is not None:
                 view = scan_mod.scan_view_jit(state, adj, cfg, plan)
                 sess._emit(view, done - 1)
+            # Batch-boundary toggle fold (see _run_scan_loop): cumulate
+            # flags reach the jitted sweep fold on the next batch.
+            cfg = sess._apply_pending_toggles(cfg)
     finally:
         if pf is not None:
             pf.close()

@@ -598,3 +598,92 @@ def test_scan_serial_u8_ship_matches_f32(tmp_path, rng):
                 np.asarray(getattr(st_u8, f)), np.asarray(getattr(st_f32, f)),
                 rtol=1e-6, atol=1e-6,
                 err_msg=f"{f} prefetch={prefetch} cadence={cadence}")
+
+
+class _GrowingSource:
+    """Constant-amplitude tone source whose amplitude doubles every sweep
+    (every ``bands_per_sweep`` reads) — makes max-curve growth observable."""
+
+    def __init__(self, cfg, bands_per_sweep):
+        self.center_freq = cfg.center_freq or 92e6
+        self.sample_rate = cfg.sampling_rate
+        self.gain = cfg.gain
+        self._n = 0
+        self._bands = bands_per_sweep
+
+    def read(self, n):
+        amp = 2.0 ** (self._n // self._bands)
+        self._n += 1
+        return (np.full(n, amp, np.float32), np.zeros(n, np.float32))
+
+    def retune(self, fc, fs, gain):
+        return True
+
+    def close(self):
+        pass
+
+
+def _scan_toggle_renderer(toggle_after, **flips):
+    """Renderer stub whose apply_toggles flips config flags after the
+    ``toggle_after``-th rendered sweep (simulating a GUI button press)."""
+    class R:
+        def __init__(self):
+            self.n = 0
+
+        def __call__(self, sess, view, peaks, i, ts):
+            self.n += 1
+
+        def apply_toggles(self, cfg):
+            import dataclasses
+            if self.n >= toggle_after:
+                return dataclasses.replace(cfg, **flips)
+            return cfg
+    return R()
+
+
+def test_scan_toggle_stops_max_cumulation():
+    """Mid-scan GUI toggles reach the ACCUMULATORS, not just the drawing:
+    the reference's buttons mutate gD and _scan_range reads bDataMax per
+    band (kspecanal.py:1010-1047 -> :651-662), so turning MaxLvls off
+    mid-scan freezes the max curve while Avg keeps cumulating."""
+    cfg = scan_cfg()
+    plan = sess_mod.make_plan_cached(cfg)
+    src = _GrowingSource(cfg, plan.num_bands)
+    r = _scan_toggle_renderer(2, b_data_max=False)
+    sess = sess_mod.Session(cfg, src, renderer=r)
+    state = sess_mod.run_scan(sess, max_sweeps=4)
+    assert sess.cfg.b_data_max is False
+    frozen = np.asarray(state.fft_max)
+
+    # Baseline: same stream with the toggle never applied -> max grows.
+    src2 = _GrowingSource(cfg, plan.num_bands)
+    sess2 = sess_mod.Session(cfg, src2, renderer=_scan_toggle_renderer(99))
+    state2 = sess_mod.run_scan(sess2, max_sweeps=4)
+    grown = np.asarray(state2.fft_max)
+    assert np.max(grown) > np.max(frozen) + 1.0   # ~6 dB/sweep growth
+
+    # The frozen max equals a run STOPPED at the toggle boundary...
+    src3 = _GrowingSource(cfg, plan.num_bands)
+    sess3 = sess_mod.Session(cfg, src3, renderer=_scan_toggle_renderer(99))
+    state3 = sess_mod.run_scan(sess3, max_sweeps=2)
+    np.testing.assert_array_equal(frozen, np.asarray(state3.fft_max))
+    # ...while Avg kept cumulating after it.
+    assert not np.array_equal(np.asarray(state.fft_avg),
+                              np.asarray(state3.fft_avg))
+
+
+def test_scan_catchup_toggle_applies_between_batches():
+    """The batched scan driver folds toggles at batch boundaries too."""
+    cfg = scan_cfg()
+    plan = sess_mod.make_plan_cached(cfg)
+    src = _GrowingSource(cfg, plan.num_bands)
+    r = _scan_toggle_renderer(1, b_data_max=False)
+    sess = sess_mod.Session(cfg, src, renderer=r, catch_up=2)
+    state = sess_mod.run_scan(sess, max_sweeps=6)
+    assert sess.cfg.b_data_max is False
+    # Sweeps 3-6 ran with b_data_max off: max matches the 2-sweep run.
+    src2 = _GrowingSource(cfg, plan.num_bands)
+    sess2 = sess_mod.Session(cfg, src2, renderer=None, catch_up=2)
+    state2 = sess_mod.run_scan(sess2, max_sweeps=2)
+    np.testing.assert_array_equal(np.asarray(state.fft_max),
+                                  np.asarray(state2.fft_max))

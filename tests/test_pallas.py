@@ -297,3 +297,45 @@ def test_packed_kernel_odd_batch_pads_to_hw_tile():
         lambda r, i: curscan_batched(r, i, cfg))(re, im))
     assert got.shape == (t, cfg.fft_size)
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_packed_kernel_u8_input_matches_decoded():
+    """uint8 raw-plane input to the packed tiny-FFT kernel (in-VMEM
+    decode) is bit-identical to decoding on the host first — including
+    through the odd-batch zero-pad path (u8 pads with 127 -> 0.0)."""
+    from kspecanal_tpu.config import SpecConfig, WINDOW_KAISER
+    from kspecanal_tpu.ops.pallas_curscan import (curscan_fused_packed,
+                                                  supports_fused_packed)
+    rng = np.random.default_rng(51)
+    for fft, nono, t in ((64, 0.5, 13), (128, 0.5, 8), (64, 0.1, 5)):
+        cfg = SpecConfig(prg_mode="ZEROSPAN", fft_size=fft,
+                         sampling_rate=2.4e6, window=WINDOW_KAISER,
+                         cur_scan_non_overlap=nono, x_res=fft).finalize()
+        assert supports_fused_packed(cfg)
+        raw_re = rng.integers(0, 256, (t, cfg.full_size), dtype=np.uint8)
+        raw_im = rng.integers(0, 256, (t, cfg.full_size), dtype=np.uint8)
+        got = curscan_fused_packed(jnp.asarray(raw_re), jnp.asarray(raw_im),
+                                   cfg)
+        want = curscan_fused_packed(
+            jnp.asarray(raw_re.astype(np.float32) - 127.0),
+            jnp.asarray(raw_im.astype(np.float32) - 127.0), cfg)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_auto_dispatch_u8_reaches_packed_undecoded():
+    """On a TPU backend, u8 planes for the packed regime (fft 64/128) must
+    reach curscan_fused_packed STILL as uint8 (the in-VMEM decode is the
+    point — pre-decoding would re-inflate HBM traffic 4x)."""
+    from unittest import mock
+    from kspecanal_tpu.config import SpecConfig, WINDOW_KAISER
+    from kspecanal_tpu.ops import pallas_curscan, spectrum
+    cfg = SpecConfig(prg_mode="ZEROSPAN", fft_size=64, sampling_rate=2.4e6,
+                     window=WINDOW_KAISER, cur_scan_non_overlap=0.5,
+                     x_res=64).finalize()
+    seen = []
+    with mock.patch.object(spectrum.jax, "default_backend", lambda: "tpu"), \
+         mock.patch.object(pallas_curscan, "curscan_fused_packed",
+                           lambda r, i, c, **kw: seen.append(r.dtype)):
+        raw = jnp.zeros((2, cfg.full_size), jnp.uint8)
+        spectrum.curscan_auto_batched(raw, raw, cfg)
+    assert seen == [jnp.uint8]
