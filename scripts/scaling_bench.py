@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main(fft_size=2048, blocks_per_dev=64):
+def main(fft_size=2048, blocks_per_dev=64, json_out=""):
     from kspecanal_tpu.config import SpecConfig, WINDOW_KAISER
     from kspecanal_tpu.parallel.mesh import make_mesh
     from kspecanal_tpu.parallel.stream import waterfall_stream_sharded
@@ -38,6 +38,7 @@ def main(fft_size=2048, blocks_per_dev=64):
     n_dev = len(jax.devices())
     sizes = [s for s in (1, 2, 4, 8, 16, 32) if s <= n_dev]
     base_rate = None
+    rows = []
     for s in sizes:
         mesh = make_mesh(time=s)
         t = blocks_per_dev * s
@@ -59,6 +60,8 @@ def main(fft_size=2048, blocks_per_dev=64):
         eff = rate / (base_rate * s)
         print(f"shards={s:3d}  {rate/1e9:7.2f} Gsamp/s  "
               f"scaling-efficiency={eff*100:5.1f}%", flush=True)
+        rows.append({"shards": s, "samples_per_s": rate,
+                     "efficiency_vs_linear": eff})
     if jax.default_backend() == "cpu":
         print("NOTE: virtual CPU devices share the SAME physical cores, so "
               "linear scaling is impossible here by construction; the "
@@ -66,9 +69,16 @@ def main(fft_size=2048, blocks_per_dev=64):
               "shards are added (collective/halo overhead ~0). Real "
               "scaling-efficiency needs a multi-chip slice over ICI.",
               flush=True)
+    if json_out:
+        import json
+        with open(json_out, "w") as f:
+            json.dump({"backend": jax.default_backend(), "rows": rows}, f)
 
 
 if __name__ == "__main__":
-    fft = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
-    bpd = int(sys.argv[2]) if len(sys.argv) > 2 else 64
-    main(fft, bpd)
+    args = [a for a in sys.argv[1:] if not a.startswith("--json")]
+    jout = next((a.split("=", 1)[1] for a in sys.argv[1:]
+                 if a.startswith("--json=")), "")
+    fft = int(args[0]) if len(args) > 0 else 2048
+    bpd = int(args[1]) if len(args) > 1 else 64
+    main(fft, bpd, jout)
