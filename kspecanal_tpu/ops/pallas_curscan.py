@@ -396,7 +396,7 @@ def _kernel_sublane(re_ref, im_ref, f1bdr_ref, f1bdi_ref, f2tr_ref, f2ti_ref,
     # DEFAULT-precision chain is read-bound (docs/DESIGN.md roofline).
     starts = cfg.window_starts
     residues = sorted({s % n2 for s in starts if s % n2})
-    views = []
+    planes = []
     for b in range(t_tile):
         vr, vi = re_ref[b], im_ref[b]
         if u8:
@@ -404,16 +404,42 @@ def _kernel_sublane(re_ref, im_ref, f1bdr_ref, f1bdi_ref, f2tr_ref, f2ti_ref,
             # (u8->i32 and i32->f32 both lower, lowering.py _convert_helper).
             vr = vr.astype(jnp.int32).astype(jnp.float32) - 127.0
             vi = vi.astype(jnp.int32).astype(jnp.float32) - 127.0
-        rot_r = {r: _shift_lanes(vr, r, n2) for r in residues}
-        rot_i = {r: _shift_lanes(vi, r, n2) for r in residues}
-        views.append((vr, vi, rot_r, rot_i))
+        planes.append((vr, vi))
+
+    # Deep-overlap DEFAULT runs stage the rotation stack in bf16: the
+    # MXU casts DEFAULT operands to bf16 at the feed anyway, so doing it
+    # BEFORE the per-residue rolls halves the rotation/select VPU bytes
+    # — the work that keeps deep overlap below the one-pass matmul bound
+    # (docs/DESIGN.md ovl90 ablation).  Same numerics class as DEFAULT.
+    lo = cfg.tpu_precision.upper() == "DEFAULT" and bool(residues)
+    if residues:
+        # ONE rotation per residue over the whole plane stack [re0; im0;
+        # re1; im1; ...] instead of 2*t_tile per residue — the rotation/
+        # select VPU work is what keeps deep overlap off the matmul
+        # bound.  A rotated row borrows its tail lanes from the NEXT
+        # stacked row; at plane/block seams that is foreign data, but a
+        # misaligned (r != 0) window start implies q + n1 - 1 <= rows-2
+        # (s <= full-fft and r > 0), so frames never read a seam row.
+        stack = jnp.concatenate([p for pair in planes for p in pair],
+                                axis=0)          # (t_tile*2*rows, n2)
+        if lo:
+            stack = stack.astype(jnp.bfloat16)
+            planes = [(stack[(2 * b) * re_ref.shape[1]:
+                             (2 * b + 1) * re_ref.shape[1]],
+                       stack[(2 * b + 1) * re_ref.shape[1]:
+                             (2 * b + 2) * re_ref.shape[1]])
+                      for b in range(t_tile)]
+        rot = {r: _shift_lanes(stack, r, n2) for r in residues}
 
     def frame(b, s):
-        vr, vi, rot_r, rot_i = views[b]
         q, r = divmod(s, n2)
         if r == 0:
+            vr, vi = planes[b]
             return vr[q:q + n1, :], vi[q:q + n1, :]
-        return rot_r[r][q:q + n1, :], rot_i[r][q:q + n1, :]
+        base = rot[r]
+        ro = (2 * b) * (re_ref.shape[1])     # rows per plane
+        io = ro + re_ref.shape[1]
+        return (base[ro + q:ro + q + n1, :], base[io + q:io + q + n1, :])
 
     # Window-GROUP loop: wg windows at a time so the stage intermediates
     # stay inside the VMEM budget at deep overlaps (90% -> 71 windows),
@@ -423,20 +449,26 @@ def _kernel_sublane(re_ref, im_ref, f1bdr_ref, f1bdi_ref, f2tr_ref, f2ti_ref,
     for g0 in range(0, w_cnt, wg):
         gcnt = min(wg, w_cnt - g0)
         gn1 = gcnt * n1
+        win_g = (win_t[:gn1].astype(jnp.bfloat16) if lo else win_t[:gn1])
         ab_re, ab_im = [], []
         for b in range(t_tile):
             frs, fis = zip(*(frame(b, starts[g0 + j]) for j in range(gcnt)))
-            ab_re.append(jnp.concatenate(frs, axis=0) * win_t[:gn1])
-            ab_im.append(jnp.concatenate(fis, axis=0) * win_t[:gn1])
+            ab_re.append(jnp.concatenate(frs, axis=0) * win_g)
+            ab_im.append(jnp.concatenate(fis, axis=0) * win_g)
         ar = jnp.concatenate(ab_re, axis=1)   # (gcnt*n1, t_tile*128)
         ai = jnp.concatenate(ab_im, axis=1)
 
-        br, bi = _bd_dot_left(dot, f1bdr_ref[...], f1bdi_ref[...], ar, ai,
-                              n1, gcnt, cf)
+        f1r_t, f1i_t = f1bdr_ref[...], f1bdi_ref[...]
+        if lo:   # feed the MXU bf16 directly (DEFAULT casts there anyway)
+            f1r_t, f1i_t = (f1r_t.astype(jnp.bfloat16),
+                            f1i_t.astype(jnp.bfloat16))
+        br, bi = _bd_dot_left(dot, f1r_t, f1i_t, ar, ai, n1, gcnt, cf)
 
         twr, twi = twr_ref[...], twi_ref[...]  # (wg*n1, t_tile*128)
         cr = br * twr[:gn1] - bi * twi[:gn1]
         ci = br * twi[:gn1] + bi * twr[:gn1]
+        if lo:   # halve the stage-2 restack traffic
+            cr, ci = cr.astype(jnp.bfloat16), ci.astype(jnp.bfloat16)
 
         # Stage 2 contracts the lane axis; restack blocks on sublanes so it
         # is one matmul against the shared (128, 128) F2^T.
@@ -445,6 +477,9 @@ def _kernel_sublane(re_ref, im_ref, f1bdr_ref, f1bdi_ref, f2tr_ref, f2ti_ref,
         c2i = jnp.concatenate(
             [ci[:, b * n2:(b + 1) * n2] for b in range(t_tile)], axis=0)
         f2tr, f2ti = f2tr_ref[...], f2ti_ref[...]
+        if lo:
+            f2tr, f2ti = (f2tr.astype(jnp.bfloat16),
+                          f2ti.astype(jnp.bfloat16))
         dr = dot(c2r, f2tr) - dot(c2i, f2ti)  # (t_tile*gcnt*n1, 128)
         di = dot(c2i, f2tr) + dot(c2r, f2ti)
         mag = jnp.sqrt(dr * dr + di * di)
@@ -561,10 +596,13 @@ def _vmem_estimate_sublane(cfg: SpecConfig, t_tile: int, wg: int = 0,
         inputs = 2 * 2 * t_tile * rows * n2 * 4
     # ar/ai + br/bi + cr/ci + c2/mag/d live arrays (per window group)
     inter = 11 * wgn1 * (t_tile * n2) * 4
-    # misaligned starts: per-residue rotated block views (2 planes per
-    # block, live across the whole grid step)
+    # misaligned starts: the concatenated plane stack + one rotated copy
+    # per residue (all live across the whole grid step; bf16-staged at
+    # DEFAULT precision)
     n_res = len({s % n2 for s in cfg.window_starts if s % n2})
-    inter += n_res * 2 * t_tile * rows * n2 * 4
+    if n_res:
+        rb = 2 if cfg.tpu_precision.upper() == "DEFAULT" else 4
+        inter += (n_res + 1) * 2 * t_tile * rows * n2 * rb
     if cfg.tpu_precision.upper() == "HIGH":
         inter += inter // 2
     bd = max(1, min(wg, _BD_CHUNK // n1)) * n1

@@ -339,3 +339,29 @@ def test_auto_dispatch_u8_reaches_packed_undecoded():
         raw = jnp.zeros((2, cfg.full_size), jnp.uint8)
         spectrum.curscan_auto_batched(raw, raw, cfg)
     assert seen == [jnp.uint8]
+
+
+def test_sublane_default_bf16_staging_accuracy():
+    """Deep-overlap DEFAULT runs stage the rotation stack in bf16 (the
+    MXU casts DEFAULT operands to bf16 anyway); the result must stay
+    within DEFAULT's error class (~1e-2 rel) of the f32 chain, and
+    HIGHEST must remain exactly the f32 math (no staging)."""
+    import dataclasses
+    from kspecanal_tpu.config import SpecConfig, WINDOW_KAISER
+    from kspecanal_tpu.ops.pallas_curscan import curscan_fused_sublane
+    from kspecanal_tpu.ops.spectrum import curscan_batched
+    rng = np.random.default_rng(61)
+    cfg = SpecConfig(prg_mode="ZEROSPAN", fft_size=2048, sampling_rate=2.4e6,
+                     window=WINDOW_KAISER, cur_scan_non_overlap=0.1).finalize()
+    re = jnp.asarray(rng.standard_normal((2, cfg.full_size)), jnp.float32)
+    im = jnp.asarray(rng.standard_normal((2, cfg.full_size)), jnp.float32)
+    want = np.asarray(curscan_batched(re, im, cfg))
+    # HIGHEST: plain f32 in interpret mode -> tight match
+    got_hi = np.asarray(curscan_fused_sublane(re, im, cfg, t_tile=1))
+    np.testing.assert_allclose(got_hi, want, rtol=5e-5, atol=1e-9)
+    # DEFAULT: bf16-staged rotations -> DEFAULT-class error, not garbage
+    cfg_d = dataclasses.replace(cfg, tpu_precision="DEFAULT")
+    got_d = np.asarray(curscan_fused_sublane(re, im, cfg_d, t_tile=1))
+    rel = np.max(np.abs(got_d - want)) / np.max(np.abs(want))
+    assert rel < 2e-2, rel
+    assert rel > 0  # and it IS the bf16 path, not silently f32
