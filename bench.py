@@ -144,7 +144,8 @@ def scan_sweep_samples_per_s(iters: int = 10, sweeps_per_dispatch: int = 16,
 
 
 def session_samples_per_s(source_kind: str, n_iters: int = 1024,
-                          catch_up: int = 128) -> float:
+                          catch_up: int = 128,
+                          precision: str = "HIGHEST") -> float:
     """End-to-end CLI-loop throughput: ``run_zero_span`` with
     ``tpuCatchUp``, renderer off, on the primary config — the number a
     user actually gets from ``python -m kspecanal_tpu`` (VERDICT r2
@@ -161,7 +162,7 @@ def session_samples_per_s(source_kind: str, n_iters: int = 1024,
 
     cfg = SpecConfig(prg_mode="ZEROSPAN", fft_size=2048, sampling_rate=2.4e6,
                      window=WINDOW_KAISER, cur_scan_non_overlap=0.5,
-                     x_res=512).finalize()
+                     x_res=512, tpu_precision=precision).finalize()
     tmp = None
     if source_kind == "file":
         rng = np.random.default_rng(0)
@@ -200,6 +201,85 @@ def session_samples_per_s(source_kind: str, n_iters: int = 1024,
             "note": "remainder of wall time is tunnel RPC round-trips "
                     "(~2.9 ms/dispatch fixed) + host<->device transfer; "
                     "both absent on directly-attached TPU hosts"}
+
+
+def scan_sweep_u8_samples_per_s(iters: int = 10,
+                                sweeps_per_dispatch: int = 16,
+                                precision: str = "DEFAULT",
+                                preset: tuple = ("fmScan", "fftSize", "2048"),
+                                ) -> float:
+    """Scan-mode sweeps fed RAW u8 capture bytes (S, B, 2*full) — the
+    production 8-bit-SDR ingest: the host ships 2 B/sample, the device
+    deinterleaves and the fused kernels decode in VMEM
+    (models.scan.sweep_steps_u8_jit)."""
+    import jax
+    import jax.numpy as jnp
+    from kspecanal_tpu.cli import parse_args
+    from kspecanal_tpu.models import scan as scan_mod
+
+    cfg, _ = parse_args([*preset, "tpuPrecision", precision])
+    plan = scan_mod.make_scan_plan(cfg)
+    b = plan.num_bands
+    s = sweeps_per_dispatch
+    mk = jax.jit(lambda k: jax.random.randint(
+        k, (s, b, 2 * cfg.full_size), 0, 256).astype(jnp.uint8))
+    raw = mk(jax.random.key(0))
+    oks = jnp.ones((s, b), bool)
+    state = scan_mod.init_state(cfg, plan)
+    state = scan_mod.sweep_steps_u8_jit(state, raw, oks, cfg, plan)
+    _ = float(state.fft_avg[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state = scan_mod.sweep_steps_u8_jit(state, raw, oks, cfg, plan)
+    _ = float(state.fft_avg[0])
+    dt = (time.perf_counter() - t0) / iters
+    return s * b * cfg.full_size / dt
+
+
+def replay_frames_per_s(n_frames: int = 8192, catch_up: int = 1024,
+                        fft_size: int = 256) -> dict:
+    """zeroSpanPlay throughput (BASELINE config 1): recorded linear
+    spectra through the batched display-update fold
+    (zs.display_updates — transform, curve folds, heatmap ring).
+    Frames are synthesized host-side (the recorder format is a stream of
+    pickles); the number is display-update frames/s through the REAL
+    replay driver with ``tpuCatchUp``."""
+    import tempfile
+
+    import numpy as np
+    from kspecanal_tpu import session as sess_mod
+    from kspecanal_tpu.config import SpecConfig, WINDOW_HANNING
+    from kspecanal_tpu.io.replay import ZeroSpanRecorder
+
+    cfg = SpecConfig(prg_mode="ZEROSPANPLAY", fft_size=fft_size,
+                     sampling_rate=2.4e6, window=WINDOW_HANNING,
+                     x_res=min(512, fft_size)).finalize()
+    rng = np.random.default_rng(0)
+    tmp = tempfile.NamedTemporaryFile(suffix=".pkl", delete=False)
+    tmp.close()
+    frames = rng.random((n_frames, fft_size)).astype(np.float64) * 1e-3
+    with ZeroSpanRecorder(tmp.name, cfg.center_freq, cfg.sampling_rate,
+                          cfg.gain) as rec:
+        for f in frames:
+            rec.append(f)
+    import dataclasses
+    pcfg = dataclasses.replace(cfg, zero_span_play_file=tmp.name,
+                               prg_loop_cnt=n_frames).finalize()
+    # warmup (compile) on a short run, then the timed full replay
+    sess_mod.run_zero_span_play(
+        sess_mod.Session(pcfg, None, catch_up=catch_up),
+        max_iters=2 * catch_up)
+    sess = sess_mod.Session(pcfg, None, catch_up=catch_up)
+    t0 = time.perf_counter()
+    state = sess_mod.run_zero_span_play(sess)
+    _ = float(state.fft_avg[0])
+    dt = time.perf_counter() - t0
+    import os
+    os.unlink(tmp.name)
+    return {"tpu": n_frames / dt, "unit": "frames/s",
+            "note": "display-update chain on recorded frames "
+                    "(kspecanal.py:530-564), one dispatch per "
+                    f"{catch_up}-frame batch"}
 
 
 def main():
@@ -258,6 +338,18 @@ def main():
         details[f"fft{fft_size}"] = {
             "tpu": device_samples_per_s(c, t_blocks=t_blocks)}
 
+    # quickFullScan-regime u8 ingest (VERDICT r3 item 2): raw bytes
+    # through the packed tiny-FFT kernel's in-VMEM decode, DEFAULT
+    # precision (the production combination for 8-bit SDR sources).
+    c64 = SpecConfig(prg_mode="ZEROSPAN", fft_size=64, sampling_rate=2.4e6,
+                     window=WINDOW_KAISER, cur_scan_non_overlap=0.5,
+                     x_res=64, tpu_precision="DEFAULT").finalize()
+    _progress("fft64 DEFAULT f32 vs u8-native...")
+    details["fft64_default"] = {
+        "tpu": device_samples_per_s(c64, t_blocks=65536)}
+    details["fft64_default_u8"] = {
+        "tpu": device_u8_samples_per_s(c64, t_blocks=65536)}
+
     # Deep waterfall (BASELINE config 5 + the reference-default overlap):
     # 90% overlap, fractional hop -> in-VMEM lane-rotation sublane kernel
     for fft_size, t_blocks in ((2048, 2048), (16384, 256)):
@@ -298,6 +390,12 @@ def main():
     _progress("fm scan sweep, tpuPrecision DEFAULT...")
     details["fm_scan_default"] = {"tpu": scan_sweep_samples_per_s(
         sweeps_per_dispatch=64, precision="DEFAULT")}
+    # ... and the raw-u8 ship variant (sweep_steps_u8_jit — what the
+    # scan drivers actually dispatch for 8-bit sources): 2 B/sample over
+    # the host link, in-VMEM decode in the fused kernel.
+    _progress("fm scan sweep, DEFAULT u8-native...")
+    details["fm_scan_default_u8"] = {"tpu": scan_sweep_u8_samples_per_s(
+        sweeps_per_dispatch=64, precision="DEFAULT")}
 
     # quickFullScan (BASELINE config 4): 30 MHz - 1.5 GHz, fftSize 64,
     # 1225 bands/sweep through the packed tiny-FFT kernel + the
@@ -309,17 +407,31 @@ def main():
     details["quick_full_scan"] = {"tpu": scan_sweep_samples_per_s(
         iters=5, sweeps_per_dispatch=128, preset=("quickFullScan",))}
 
+    # Replay mode (BASELINE config 1): display-update chain on recorded
+    # frames through the real zeroSpanPlay driver, batched by tpuCatchUp.
+    _progress("zeroSpanPlay replay (fft256, batched display fold)...")
+    details["zero_span_play"] = replay_frames_per_s()
+
     # Session path: the throughput a user gets from the real CLI loop
     # (run_zero_span + tpuCatchUp, renderer off) — not just the kernels.
+    # The file path is HOST-LINK-bound in this environment (u8 ships
+    # 2 B/sample through a ~100 MB/s tunnel => ~50 Msamp/s ceiling;
+    # acquisition+transfer now overlaps device compute on a worker
+    # thread, so the number measures the link, not the loop).
     _progress("session path (file source, u8 in-jit decode)...")
-    details["session_file_u8"] = session_samples_per_s("file")
-    # catch_up=2048 batches past the heatmap-ring depth (exact — the
-    # batched step writes only the rows a sequential run would keep), so
-    # the ~3 ms tunnel RPC amortizes over 33.5 Msamp of device work:
-    # 0.28 -> 1.76 Gsamp/s through the REAL session loop.
-    _progress("session path (device synth source)...")
+    details["session_file_u8"] = session_samples_per_s(
+        "file", n_iters=8192, catch_up=2048)
+    # catch_up=16384 batches far past the heatmap-ring depth (exact —
+    # the batched step writes only the rows a sequential run would
+    # keep); one dispatch covers 67 Msamp of device work, so the ~3 ms
+    # tunnel RPC costs < 25% even at HIGHEST.  VERDICT r3 item 1 target:
+    # >= 50% of the same-precision waterfall_stream kernel rate.
+    _progress("session path (device synth source, HIGHEST)...")
     details["session_devicesynth"] = session_samples_per_s(
-        "devicesynth", n_iters=16384, catch_up=2048)
+        "devicesynth", n_iters=65536, catch_up=16384)
+    _progress("session path (device synth source, DEFAULT)...")
+    details["session_devicesynth_default"] = session_samples_per_s(
+        "devicesynth", n_iters=65536, catch_up=16384, precision="DEFAULT")
 
     result = {
         "metric": "IQ samples/s/chip through windowed-FFT+waterfall chain "

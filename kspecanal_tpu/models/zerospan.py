@@ -173,7 +173,8 @@ def display_update_adj_jit(state, spectrum_linear, adj, cfg: SpecConfig):
 
 
 def zero_span_steps(state: ZeroSpanState, iq_re: jax.Array, iq_im: jax.Array,
-                    cfg: SpecConfig, adj: Optional[jax.Array] = None):
+                    cfg: SpecConfig, adj: Optional[jax.Array] = None,
+                    with_view: bool = True):
     """K zero-span iterations in ONE device program (batched catch-up).
 
     ``iq_*``: (K, full_size).  Exactly equivalent to folding
@@ -181,18 +182,31 @@ def zero_span_steps(state: ZeroSpanState, iq_re: jax.Array, iq_im: jax.Array,
     closed-form decay reductions (config.cumu_weights semantics over the
     dB spectra, kspecanal.py:469-476) and every heatmap ring row is
     written at its serial index — but with one dispatch instead of K.
-    Returns (state', view-of-last-iteration).
+    Returns (state', view-of-last-iteration) — or (state', None) when
+    ``with_view`` is False (headless runs skip the display compression).
 
     Used by the session loop for file/synth sources where the ~2-4 ms
     per-dispatch RPC floor, not the DSP, bounds throughput
     (``tpuCatchUp K``).
     """
     from kspecanal_tpu.ops.spectrum import curscan_auto_batched, psd_welch
-    k = iq_re.shape[0]
     if cfg.b_use_psd:
         spec_lin = jax.vmap(lambda r, i: psd_welch(r, i, cfg))(iq_re, iq_im)
     else:
         spec_lin = curscan_auto_batched(iq_re, iq_im, cfg)
+    return display_updates(state, spec_lin, cfg, adj, with_view)
+
+
+def display_updates(state: ZeroSpanState, spec_lin: jax.Array,
+                    cfg: SpecConfig, adj: Optional[jax.Array] = None,
+                    with_view: bool = True):
+    """K display-half iterations in ONE device program: everything after
+    curscan — display transform, curve folds, heatmap ring — batched over
+    ``spec_lin`` (K, fft_size) linear spectra.  The tail of
+    :func:`zero_span_steps`, split out so replay mode (whose frames are
+    pre-computed spectra, kspecanal.py:547-564) batches through the same
+    fold (``tpuCatchUp`` applies there too)."""
+    k = spec_lin.shape[0]
     dbs = jax.vmap(lambda s: dsp.fftvals_dispproc(
         s.astype(jnp.float32), cfg.zero_span_disp_proc,
         gain=cfg.gain))(spec_lin)
@@ -242,6 +256,11 @@ def zero_span_steps(state: ZeroSpanState, iq_re: jax.Array, iq_im: jax.Array,
     heatmap = state.heatmap.at[ring_idx].set(rows)
     hm_index = (state.hm_index + k) % HEATMAP_ROWS
 
+    new_state = ZeroSpanState(fft_max, fft_min, fft_avg, fft_cur, heatmap,
+                              hm_index, state.iteration + k, seeded)
+    if not with_view:
+        return new_state, None
+
     if adj is not None:
         a_max, a_min, a_avg, a_cur = (fft_max - adj, fft_min - adj,
                                       fft_avg - adj, fft_cur - adj)
@@ -259,20 +278,20 @@ def zero_span_steps(state: ZeroSpanState, iq_re: jax.Array, iq_im: jax.Array,
     _, avg_l = dsp.compress_xy(freqs, a_avg, cfg.plt_compress, cfg.x_res)
     _, cur_l = dsp.compress_xy(freqs, a_cur, cfg.plt_compress, cfg.x_res)
 
-    new_state = ZeroSpanState(fft_max, fft_min, fft_avg, fft_cur, heatmap,
-                              hm_index, state.iteration + k, seeded)
     view = ZeroSpanView(x_freqs, max_l, min_l, avg_l, cur_l, heatmap,
                         spec_lin[-1])
     return new_state, view
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def zero_span_steps_jit(state, iq_re, iq_im, cfg: SpecConfig):
-    return zero_span_steps(state, iq_re, iq_im, cfg)
+@functools.partial(jax.jit, static_argnames=("cfg", "with_view"))
+def zero_span_steps_jit(state, iq_re, iq_im, cfg: SpecConfig,
+                        with_view: bool = True):
+    return zero_span_steps(state, iq_re, iq_im, cfg, with_view=with_view)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def zero_span_steps_u8_jit(state, raw, cfg: SpecConfig, adj=None):
+@functools.partial(jax.jit, static_argnames=("cfg", "with_view"))
+def zero_span_steps_u8_jit(state, raw, cfg: SpecConfig, adj=None,
+                           with_view: bool = True):
     """K zero-span iterations from RAW capture bytes (K, 2*full_size):
     the u8 -> float32 decode (octave/load_rtlsdr.m semantics) runs
     on-device so the host ships 2 B/sample instead of 8 (the session
@@ -284,12 +303,21 @@ def zero_span_steps_u8_jit(state, raw, cfg: SpecConfig, adj=None):
     if cfg.b_use_psd:
         from kspecanal_tpu.parallel.stream import decode_u8_on_device
         iq_re, iq_im = decode_u8_on_device(raw)
-    return zero_span_steps(state, iq_re, iq_im, cfg, adj)
+    return zero_span_steps(state, iq_re, iq_im, cfg, adj,
+                           with_view=with_view)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def zero_span_steps_adj_jit(state, iq_re, iq_im, adj, cfg: SpecConfig):
-    return zero_span_steps(state, iq_re, iq_im, cfg, adj)
+@functools.partial(jax.jit, static_argnames=("cfg", "with_view"))
+def zero_span_steps_adj_jit(state, iq_re, iq_im, adj, cfg: SpecConfig,
+                            with_view: bool = True):
+    return zero_span_steps(state, iq_re, iq_im, cfg, adj,
+                           with_view=with_view)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "with_view"))
+def display_updates_jit(state, spec_lin, cfg: SpecConfig, adj=None,
+                        with_view: bool = True):
+    return display_updates(state, spec_lin, cfg, adj, with_view=with_view)
 
 
 # NOTE: batched multi-iteration processing for STATELESS streams lives in

@@ -47,10 +47,10 @@ class Session:
         # (tpuCatchUp K) — for file/synth sources where the ~2-4 ms
         # dispatch RPC, not the DSP, bounds throughput.  K > 128 is exact
         # too (the batched step writes only the last heatmap-ring-depth
-        # rows — all a sequential run would keep); the cap only bounds
-        # host staging memory (4096 blocks of fft2048 geometry = 537 MB
-        # f32 / 134 MB u8).
-        self.catch_up = max(0, min(int(catch_up), 4096))
+        # rows — all a sequential run would keep).  Host staging memory
+        # is bounded per-path in the catch-up driver (_catchup_block_cap),
+        # so the nominal cap only guards device-memory blowup.
+        self.catch_up = max(0, min(int(catch_up), 65536))
         # Scan mode: acquire sweep k+1 on a worker thread while sweep k's
         # device step is in flight (io/prefetch.SweepPrefetcher).
         self.sweep_prefetch = bool(sweep_prefetch)
@@ -238,6 +238,21 @@ def run_zero_span(sess: Session, max_iters: Optional[int] = None
     return state
 
 
+# Host staging bound for one catch-up batch (bytes of IQ payload staged
+# on the host before transfer).  The per-path block cap derives from it:
+# raw u8 ships 2 B/sample, f32 planes 8 B/sample; the on-device synth
+# stages nothing on the host and is bounded by the nominal catch_up cap.
+_CATCHUP_STAGING_BYTES = 1 << 30
+
+
+def _catchup_block_cap(sess: Session, cfg: SpecConfig) -> int:
+    if getattr(sess.source, "read_device_batch", None) is not None:
+        return sess.catch_up
+    bps = 2 if getattr(sess.source, "read_raw", None) is not None else 8
+    return max(1, min(sess.catch_up,
+                      _CATCHUP_STAGING_BYTES // (bps * cfg.full_size)))
+
+
 def _run_zero_span_catchup(sess: Session, state: zs.ZeroSpanState, adj,
                            n: int) -> zs.ZeroSpanState:
     """Batched zero-span body: K blocks per device dispatch
@@ -247,49 +262,87 @@ def _run_zero_span_catchup(sess: Session, state: zs.ZeroSpanState, adj,
 
     Acquisition picks the cheapest host->device route the source offers:
     on-device synthesis (``read_device_batch``) > raw u8 bytes decoded
-    in-jit (``read_raw``, 2 B/sample) > float32 planes (8 B/sample)."""
+    in-jit (``read_raw``, 2 B/sample) > float32 planes (8 B/sample).
+
+    Host-sourced acquisition is DOUBLE-BUFFERED: batch k+1's read +
+    host->device transfer runs on a worker thread while batch k's device
+    dispatch is in flight (the serial acquire->dispatch loop this
+    replaces is the reference's, kspecanal.py:460-505).  The on-device
+    synth path needs no worker — its acquisition is already an async
+    device call.  Headless runs (no renderer) skip the per-batch view
+    computation entirely."""
     cfg = sess.cfg
     dev_batch = getattr(sess.source, "read_device_batch", None)
     raw_read = (None if dev_batch is not None
                 else getattr(sess.source, "read_raw", None))
+    want_view = sess.renderer is not None
+
+    def acquire(k):
+        """One staged batch, transferred to device: ("raw", x) | ("f32",
+        re, im).  Runs on the worker thread for host-backed sources."""
+        if dev_batch is not None:
+            re, im = dev_batch(k, cfg.full_size)
+            return ("f32", re, im)
+        if raw_read is not None:
+            return ("raw", jnp.asarray(np.stack(
+                [raw_read(cfg.full_size) for _ in range(k)])))
+        blocks = [sess.source.read(cfg.full_size) for _ in range(k)]
+        return ("f32", jnp.asarray(np.stack([b[0] for b in blocks])),
+                jnp.asarray(np.stack([b[1] for b in blocks])))
+
+    ex = None
+    if dev_batch is None:
+        from concurrent.futures import ThreadPoolExecutor
+        ex = ThreadPoolExecutor(1, thread_name_prefix="catchup-acquire")
+    cap = _catchup_block_cap(sess, cfg)
     done = 0
+    pending = None       # (future, k) staged ahead by the worker
     prev = time.time()
-    while done < n and not sess.stop:
-        k = min(sess.catch_up, n - done)
-        cur = time.time()
-        sess.iter_times.append(cur - prev)
-        log_dbug(f"ZeroSpan:{done}:{cur - prev}")
-        prev = cur
-        raw = None
-        with sess.timer.stage("acquire", k * cfg.full_size):
-            if dev_batch is not None:
-                re, im = dev_batch(k, cfg.full_size)
-            elif raw_read is not None:
-                raw = jnp.asarray(np.stack(
-                    [raw_read(cfg.full_size) for _ in range(k)]))
-            else:
-                blocks = [sess.source.read(cfg.full_size) for _ in range(k)]
-                re = jnp.asarray(np.stack([b[0] for b in blocks]))
-                im = jnp.asarray(np.stack([b[1] for b in blocks]))
-        if getattr(sess.source, "exhausted", False):
-            log_warn("zeroSpan: source exhausted; stopping")
-            sess.stop = True
-        with sess.timer.stage("dsp", k * cfg.full_size):
-            if raw is not None:
-                state, view = zs.zero_span_steps_u8_jit(state, raw, cfg, adj)
-            elif adj is None:
-                state, view = zs.zero_span_steps_jit(state, re, im, cfg)
-            else:
-                state, view = zs.zero_span_steps_adj_jit(state, re, im, adj,
-                                                         cfg)
-        done += k
-        with sess.timer.stage("render"):
-            sess._emit(view, done - 1)
-        if sess.renderer is not None and hasattr(sess.renderer,
-                                                 "apply_toggles"):
-            new_cfg = sess.renderer.apply_toggles(cfg)
-            if new_cfg != cfg:
-                cfg = sess.cfg = new_cfg
+    try:
+        while done < n and not sess.stop:
+            k = min(cap, n - done)
+            cur = time.time()
+            sess.iter_times.append(cur - prev)
+            log_dbug(f"ZeroSpan:{done}:{cur - prev}")
+            prev = cur
+            with sess.timer.stage("acquire", k * cfg.full_size):
+                if pending is not None:
+                    payload = pending[0].result()
+                    k = pending[1]
+                    pending = None
+                else:
+                    payload = acquire(k)
+            if getattr(sess.source, "exhausted", False):
+                log_warn("zeroSpan: source exhausted; stopping")
+                sess.stop = True
+            # Read-ahead: stage the NEXT batch while this one computes.
+            # Exhausted/stopping runs stage nothing (a serial run would
+            # not have read past the EOF batch either).
+            nxt = min(cap, n - done - k)
+            if ex is not None and nxt > 0 and not sess.stop:
+                pending = (ex.submit(acquire, nxt), nxt)
+            with sess.timer.stage("dsp", k * cfg.full_size):
+                if payload[0] == "raw":
+                    state, view = zs.zero_span_steps_u8_jit(
+                        state, payload[1], cfg, adj, want_view)
+                elif adj is None:
+                    state, view = zs.zero_span_steps_jit(
+                        state, payload[1], payload[2], cfg, want_view)
+                else:
+                    state, view = zs.zero_span_steps_adj_jit(
+                        state, payload[1], payload[2], adj, cfg, want_view)
+            done += k
+            with sess.timer.stage("render"):
+                sess._emit(view, done - 1)
+            new_cfg = sess._apply_pending_toggles(cfg)
+            if new_cfg is not cfg:
+                cfg = new_cfg
+                want_view = sess.renderer is not None
+    finally:
+        if pending is not None:
+            pending[0].cancel()
+        if ex is not None:
+            ex.shutdown(wait=True)
     sess.final_avg = np.asarray(state.fft_avg, np.float64)
     sess._checkpoint_state(state, cfg)
     return state
@@ -298,19 +351,20 @@ def _run_zero_span_catchup(sess: Session, state: zs.ZeroSpanState, adj,
 def run_zero_span_save(sess: Session, max_iters: Optional[int] = None) -> int:
     """Record mode (kspecanal.py:509-526): no display work at all — the
     reference skips plotting to sample more often (README.rst:260-263);
-    here the spectra additionally batch through one lax.scan device call
-    per chunk for throughput."""
+    here the spectra additionally batch through one device call per
+    chunk.  ``tpuCatchUp`` sets the chunk size (record mode is exactly
+    the "sample more often" path batching was built for); raw-capable
+    sources ship u8 bytes (2 B/sample) and decode in-kernel."""
     from kspecanal_tpu.ops.spectrum import curscan_auto_batched
 
     cfg = sess.cfg
     assert sess.source is not None
     sess.source.retune(cfg.center_freq, cfg.sampling_rate, cfg.gain)
     n = cfg.prg_loop_cnt if max_iters is None else max_iters
-    chunk = 8  # device iterations per dispatch
-    # Recorded frames are per-iteration curscans only — no cross-iteration
-    # state and no display work (the reference skips plotting here too,
-    # kspecanal.py:509-526) — so the device program is just the batched
-    # curscan.
+    # Device iterations per dispatch: tpuCatchUp when given (staging-
+    # bounded like the zero-span catch-up driver), else the historical 8.
+    chunk = _catchup_block_cap(sess, cfg) if sess.catch_up > 1 else 8
+    raw_read = getattr(sess.source, "read_raw", None)
     run = jax.jit(lambda r, i: curscan_auto_batched(r, i, cfg))
     written = 0
     with ZeroSpanRecorder(cfg.zero_span_save_file, cfg.center_freq,
@@ -321,18 +375,27 @@ def run_zero_span_save(sess: Session, max_iters: Optional[int] = None) -> int:
                 # Per-frame capture timestamps (the reference stamps each
                 # iteration individually, kspecanal.py:516-525; one shared
                 # post-dispatch time would plateau replay xlabels in
-                # 8-frame steps).
+                # chunk-sized steps).
                 blocks, stamps = [], []
                 for _ in range(k):
-                    blocks.append(sess.source.read(cfg.full_size))
+                    blocks.append(raw_read(cfg.full_size)
+                                  if raw_read is not None
+                                  else sess.source.read(cfg.full_size))
                     stamps.append(time.time())
                     if getattr(sess.source, "exhausted", False):
                         log_warn("zeroSpanSave: source exhausted; stopping")
                         sess.stop = True
                         k = len(blocks)
                         break
-                re = jnp.asarray(np.stack([b[0] for b in blocks]))
-                im = jnp.asarray(np.stack([b[1] for b in blocks]))
+                if raw_read is not None:
+                    # Deinterleave on host into u8 planes (cheap slicing);
+                    # the batched curscan decodes them in-kernel/in-XLA.
+                    raw_np = np.stack(blocks)
+                    re = jnp.asarray(np.ascontiguousarray(raw_np[:, 0::2]))
+                    im = jnp.asarray(np.ascontiguousarray(raw_np[:, 1::2]))
+                else:
+                    re = jnp.asarray(np.stack([b[0] for b in blocks]))
+                    im = jnp.asarray(np.stack([b[1] for b in blocks]))
             with sess.timer.stage("dsp", k * cfg.full_size):
                 spectra = run(re, im)
             with sess.timer.stage("persist"):
@@ -361,27 +424,43 @@ def run_zero_span_play(sess: Session, max_iters: Optional[int] = None
     state = None
     adj = None if sess.adj is None else jnp.asarray(sess.adj)
     n = cfg.prg_loop_cnt if max_iters is None else max_iters
+    # tpuCatchUp batches K recorded frames per device dispatch through
+    # the batched display fold (zs.display_updates — exactly the serial
+    # fold); render cadence coarsens to the batch tail like the other
+    # catch-up drivers.  K=1 keeps the reference's per-frame cadence.
+    chunk = max(1, sess.catch_up)
+    i = 0
+    batch: list = []
     with player:
-        for i, (ts, frame) in enumerate(player.frames()):
-            if i >= n or sess.stop:
+        frames = player.frames()
+        while i < n and not sess.stop:
+            batch.clear()
+            for ts, frame in frames:
+                batch.append((ts, np.asarray(frame, np.float32)))
+                if len(batch) >= min(chunk, n - i):
+                    break
+            if not batch:
                 break
             if state is None:
                 # The save header carries fC/fS/gain but not fftSize
                 # (kspecanal.py:512-514); adapt to the recorded frame
                 # length (the reference implicitly does via len(fftPr)).
-                if len(frame) != cfg.fft_size:
+                flen = len(batch[0][1])
+                if flen != cfg.fft_size:
                     log_warn(f"zeroSpanPlay: fftSize[{cfg.fft_size}] -> "
-                             f"recorded frame length [{len(frame)}]")
+                             f"recorded frame length [{flen}]")
                     cfg = sess.cfg = dataclasses.replace(
-                        cfg, fft_size=len(frame),
-                        x_res=min(cfg.x_res, len(frame))).finalize()
+                        cfg, fft_size=flen,
+                        x_res=min(cfg.x_res, flen)).finalize()
                 state = zs.init_state(cfg)
-            spec = jnp.asarray(np.asarray(frame, np.float32))
-            if adj is None:
-                state, view = zs.display_update_jit(state, spec, cfg)
-            else:
-                state, view = zs.display_update_adj_jit(state, spec, adj, cfg)
-            sess._emit(view, i, ZeroSpanPlayer.format_timestamp(ts))
+            k = len(batch)
+            with sess.timer.stage("dsp", k * cfg.fft_size):
+                spec = jnp.asarray(np.stack([f for _, f in batch]))
+                state, view = zs.display_updates_jit(state, spec, cfg, adj)
+            i += k
+            with sess.timer.stage("render"):
+                sess._emit(view, i - 1,
+                           ZeroSpanPlayer.format_timestamp(batch[-1][0]))
     if state is not None:
         sess.final_avg = np.asarray(state.fft_avg, np.float64)
     return state

@@ -687,3 +687,56 @@ def test_scan_catchup_toggle_applies_between_batches():
     state2 = sess_mod.run_scan(sess2, max_sweeps=2)
     np.testing.assert_array_equal(np.asarray(state.fft_max),
                                   np.asarray(state2.fft_max))
+
+
+def test_replay_catchup_matches_serial(tmp_path):
+    """zeroSpanPlay with tpuCatchUp batches K recorded frames per dispatch
+    through the batched display fold — final state identical to the
+    per-frame replay (and the K=1 path identical to the old serial
+    display_update)."""
+    rng = np.random.default_rng(77)
+    save = str(tmp_path / "rec.pkl")
+    cfg = zs_cfg(prg_mode="ZEROSPANSAVE", zero_span_save_file=save,
+                 prg_loop_cnt=7)
+    src = SynthIQSource(sample_rate=cfg.sampling_rate, seed=5)
+    sess_mod.run_zero_span_save(sess_mod.Session(cfg, src), max_iters=7)
+
+    def play(catch_up):
+        pcfg = zs_cfg(prg_mode="ZEROSPANPLAY", zero_span_play_file=save)
+        sess = sess_mod.Session(pcfg, None, catch_up=catch_up)
+        return sess_mod.run_zero_span_play(sess)
+
+    serial = play(0)
+    batched = play(3)   # 7 frames -> batches of 3, 3, 1
+    for a, b in zip(serial, batched):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_save_honors_catchup_and_raw_ship(tmp_path):
+    """zeroSpanSave batches tpuCatchUp frames per dispatch and ships raw
+    u8 for raw-capable sources — recorded stream identical to the
+    fixed-chunk f32 path."""
+    from kspecanal_tpu.io.replay import ZeroSpanPlayer
+    from kspecanal_tpu.io.sources import FileIQSource
+    rng = np.random.default_rng(78)
+    cap = tmp_path / "cap.iq"
+    cfg0 = zs_cfg()
+    cap.write_bytes(rng.integers(0, 256, 2 * 6 * cfg0.full_size,
+                                 dtype=np.uint8).tobytes())
+
+    def record(catch_up, name):
+        save = str(tmp_path / name)
+        cfg = zs_cfg(prg_mode="ZEROSPANSAVE", zero_span_save_file=save)
+        sess = sess_mod.Session(cfg, FileIQSource(str(cap)),
+                                catch_up=catch_up)
+        n = sess_mod.run_zero_span_save(sess, max_iters=5)
+        assert n == 5
+        with ZeroSpanPlayer(save) as p:
+            return [np.asarray(f) for _, f in p.frames()]
+
+    a = record(0, "a.pkl")     # historical chunk=8 path
+    b = record(3, "b.pkl")     # tpuCatchUp chunking
+    assert len(a) == len(b) == 5
+    for fa, fb in zip(a, b):
+        np.testing.assert_allclose(fa, fb, rtol=1e-6, atol=1e-9)
