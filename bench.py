@@ -406,6 +406,13 @@ def main():
     _progress("quickFullScan sweep...")
     details["quick_full_scan"] = {"tpu": scan_sweep_samples_per_s(
         iters=5, sweeps_per_dispatch=128, preset=("quickFullScan",))}
+    # ... and the production 8-bit combination: raw u8 sweeps through the
+    # packed tiny-FFT kernel's in-VMEM decode at DEFAULT precision.
+    _progress("quickFullScan sweep, DEFAULT u8-native...")
+    details["quick_full_scan_default_u8"] = {
+        "tpu": scan_sweep_u8_samples_per_s(
+            iters=5, sweeps_per_dispatch=128, preset=("quickFullScan",),
+            precision="DEFAULT")}
 
     # Replay mode (BASELINE config 1): display-update chain on recorded
     # frames through the real zeroSpanPlay driver, batched by tpuCatchUp.

@@ -406,11 +406,12 @@ def _kernel_sublane(re_ref, im_ref, f1bdr_ref, f1bdi_ref, f2tr_ref, f2ti_ref,
             vi = vi.astype(jnp.int32).astype(jnp.float32) - 127.0
         planes.append((vr, vi))
 
-    # Deep-overlap DEFAULT runs stage the rotation stack in bf16: the
-    # MXU casts DEFAULT operands to bf16 at the feed anyway, so doing it
-    # BEFORE the per-residue rolls halves the rotation/select VPU bytes
-    # — the work that keeps deep overlap below the one-pass matmul bound
-    # (docs/DESIGN.md ovl90 ablation).  Same numerics class as DEFAULT.
+    # Deep-overlap DEFAULT runs stage the FRAMES in bf16: the MXU casts
+    # DEFAULT operands to bf16 at the feed anyway, so casting at the
+    # window-multiply halves the frame-concat traffic and feeds the dot
+    # natively.  The rotations themselves must stay 32-bit — Mosaic's
+    # tpu.dynamic_rotate has no sub-32-bit lowering ("Rotate with
+    # non-32-bit data", found on hardware; interpret mode accepts bf16).
     lo = cfg.tpu_precision.upper() == "DEFAULT" and bool(residues)
     if residues:
         # ONE rotation per residue over the whole plane stack [re0; im0;
@@ -422,13 +423,6 @@ def _kernel_sublane(re_ref, im_ref, f1bdr_ref, f1bdi_ref, f2tr_ref, f2ti_ref,
         # (s <= full-fft and r > 0), so frames never read a seam row.
         stack = jnp.concatenate([p for pair in planes for p in pair],
                                 axis=0)          # (t_tile*2*rows, n2)
-        if lo:
-            stack = stack.astype(jnp.bfloat16)
-            planes = [(stack[(2 * b) * re_ref.shape[1]:
-                             (2 * b + 1) * re_ref.shape[1]],
-                       stack[(2 * b + 1) * re_ref.shape[1]:
-                             (2 * b + 2) * re_ref.shape[1]])
-                      for b in range(t_tile)]
         rot = {r: _shift_lanes(stack, r, n2) for r in residues}
 
     def frame(b, s):
@@ -453,8 +447,13 @@ def _kernel_sublane(re_ref, im_ref, f1bdr_ref, f1bdi_ref, f2tr_ref, f2ti_ref,
         ab_re, ab_im = [], []
         for b in range(t_tile):
             frs, fis = zip(*(frame(b, starts[g0 + j]) for j in range(gcnt)))
-            ab_re.append(jnp.concatenate(frs, axis=0) * win_g)
-            ab_im.append(jnp.concatenate(fis, axis=0) * win_g)
+            fr_cat = jnp.concatenate(frs, axis=0)
+            fi_cat = jnp.concatenate(fis, axis=0)
+            if lo:
+                fr_cat = fr_cat.astype(jnp.bfloat16)
+                fi_cat = fi_cat.astype(jnp.bfloat16)
+            ab_re.append(fr_cat * win_g)
+            ab_im.append(fi_cat * win_g)
         ar = jnp.concatenate(ab_re, axis=1)   # (gcnt*n1, t_tile*128)
         ai = jnp.concatenate(ab_im, axis=1)
 
@@ -597,12 +596,11 @@ def _vmem_estimate_sublane(cfg: SpecConfig, t_tile: int, wg: int = 0,
     # ar/ai + br/bi + cr/ci + c2/mag/d live arrays (per window group)
     inter = 11 * wgn1 * (t_tile * n2) * 4
     # misaligned starts: the concatenated plane stack + one rotated copy
-    # per residue (all live across the whole grid step; bf16-staged at
-    # DEFAULT precision)
+    # per residue (all live across the whole grid step; rotations must
+    # stay 32-bit — Mosaic cannot rotate bf16)
     n_res = len({s % n2 for s in cfg.window_starts if s % n2})
     if n_res:
-        rb = 2 if cfg.tpu_precision.upper() == "DEFAULT" else 4
-        inter += (n_res + 1) * 2 * t_tile * rows * n2 * rb
+        inter += (n_res + 1) * 2 * t_tile * rows * n2 * 4
     if cfg.tpu_precision.upper() == "HIGH":
         inter += inter // 2
     bd = max(1, min(wg, _BD_CHUNK // n1)) * n1
