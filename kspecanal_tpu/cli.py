@@ -206,6 +206,12 @@ def make_source(cfg: SpecConfig, run: RunOptions):
         return sources.DeviceSynthIQSource(center_freq=cfg.center_freq,
                                            sample_rate=cfg.sampling_rate,
                                            gain=0.5)
+    if run.source == "devicenoise":
+        # On-device noise (no transcendentals): measures/soaks the session
+        # machinery itself — the tone SIMULATOR is devicesynth.
+        return sources.DeviceNoiseIQSource(center_freq=cfg.center_freq,
+                                           sample_rate=cfg.sampling_rate,
+                                           gain=0.5)
     if run.source.startswith("file:"):
         src, fallback = sources.make_file_source(
             run.source[5:], center_freq=cfg.center_freq,

@@ -310,6 +310,84 @@ def _build_device_synth(tones: Tuple[float, ...], sample_rate: float,
     return jax.jit(batch)
 
 
+class DeviceNoiseIQSource:
+    """On-device uniform-noise source (``tpuSource devicenoise``).
+
+    Emits RAW uint8 ADC-style planes (uniform [0, 255], value-127 offset
+    — exactly the rtl_sdr capture format, octave/load_rtlsdr.m) straight
+    from device random bits: no transcendentals and only 1 B/sample of
+    generator output, so acquisition is negligible next to any DSP.
+    This is the source for measuring/soaking the SESSION MACHINERY
+    (drivers, batched folds, dispatch) — the testfft-semantics tone
+    SIMULATOR is :class:`DeviceSynthIQSource`, whose ~6
+    transcendentals/sample tone bank binds the loop once everything else
+    runs at kernel rate (scripts/session_ablate.py, round 4).
+
+    The batched session driver feeds the u8 planes to
+    ``curscan_auto_batched`` unchanged (in-VMEM decode); the host-side
+    ``read()`` protocol decodes to float32 planes.  ``gain`` is carried
+    for the source protocol but the amplitude is the full 8-bit range.
+    """
+
+    def __init__(self, center_freq: float = 92e6, sample_rate: float = 2.4e6,
+                 gain: float = 0.5, seed: Optional[int] = 0,
+                 reuse: bool = False):
+        """``reuse=True``: generate each (k, n) batch ONCE and return the
+        same device buffer on every subsequent read — zero acquisition
+        cost, exactly the methodology of the kernel benches (which time
+        repeated dispatches over one staged buffer), so a session run
+        over a reusing source isolates the cost of the session machinery
+        itself.  Default False = fresh noise per read (soak mode)."""
+        self.center_freq = center_freq
+        self.sample_rate = sample_rate
+        self.gain = gain
+        self.reuse = bool(reuse)
+        self._cache: dict = {}
+        import jax
+        self._key = jax.random.key(0 if seed is None else seed)
+
+    def read_device_batch(self, k: int, n: int):
+        if self.reuse and (k, n) in self._cache:
+            return self._cache[(k, n)]
+        import jax
+        self._key, sub = jax.random.split(self._key)
+        out = _build_device_noise(k, n)(sub)
+        if self.reuse:
+            self._cache[(k, n)] = out
+        return out
+
+    def read(self, n: int) -> Planes:
+        re, im = self.read_device_batch(1, n)
+        return (np.asarray(re[0]).astype(np.float32) - np.float32(127.0),
+                np.asarray(im[0]).astype(np.float32) - np.float32(127.0))
+
+    def retune(self, center_freq, sample_rate, gain) -> bool:
+        self.center_freq = center_freq
+        self.sample_rate = sample_rate
+        self.gain = gain
+        return True
+
+    def close(self):
+        pass
+
+
+@functools.lru_cache(maxsize=32)
+def _build_device_noise(k: int, n: int):
+    """Jitted (K, n) uint8 noise planes: each random u32 bitcasts into
+    four uniform bytes — the cheapest correct on-device sample stream
+    (1 B/sample written; the DSP decodes in VMEM like any raw capture)."""
+    import jax
+    import jax.numpy as jnp
+    assert n % 4 == 0, n
+
+    def batch(key):
+        bits = jax.random.bits(key, (2, k, n // 4), jnp.uint32)
+        u8 = jax.lax.bitcast_convert_type(bits, jnp.uint8).reshape(2, k, n)
+        return u8[0], u8[1]
+
+    return jax.jit(batch)
+
+
 class DecimatingSource:
     """Time-domain decimation preprocessor — the reference's own TODO
     (README.rst:612-622): treat the capture as oversampled, merge each

@@ -191,6 +191,9 @@ def zero_span_steps(state: ZeroSpanState, iq_re: jax.Array, iq_im: jax.Array,
     """
     from kspecanal_tpu.ops.spectrum import curscan_auto_batched, psd_welch
     if cfg.b_use_psd:
+        if iq_re.dtype == jnp.uint8:   # PSD runs through the XLA FFT:
+            iq_re = iq_re.astype(jnp.float32) - 127.0   # decode eagerly
+            iq_im = iq_im.astype(jnp.float32) - 127.0
         spec_lin = jax.vmap(lambda r, i: psd_welch(r, i, cfg))(iq_re, iq_im)
     else:
         spec_lin = curscan_auto_batched(iq_re, iq_im, cfg)

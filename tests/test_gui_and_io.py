@@ -575,3 +575,49 @@ def test_streaming_source_mode_switch_keeps_position(tmp_path, rng):
                                       raw[3584:3584 + 200])
     finally:
         src.close()
+
+
+def test_device_noise_source():
+    """DeviceNoiseIQSource: uniform u8 ADC-style device planes (raw
+    capture semantics), decoded f32 on the host read() protocol, seeded
+    determinism, per-read fresh data, and session-driver compatibility
+    (read_device_batch protocol like devicesynth)."""
+    from kspecanal_tpu.io.sources import DeviceNoiseIQSource
+    import jax.numpy as jnp
+    src = DeviceNoiseIQSource(gain=0.5, seed=7)
+    re, im = src.read_device_batch(4, 2048)
+    assert re.shape == (4, 2048) and re.dtype == jnp.uint8
+    x = np.asarray(re).astype(np.float64)
+    assert 110 < np.mean(x) < 145                # ~uniform over [0, 255]
+    assert np.std(x) > 50                        # actually random
+    re2, _ = src.read_device_batch(4, 2048)
+    assert not np.array_equal(np.asarray(re), np.asarray(re2))
+    # seeded determinism
+    s2 = DeviceNoiseIQSource(gain=0.5, seed=7)
+    re3, _ = s2.read_device_batch(4, 2048)
+    np.testing.assert_array_equal(np.asarray(re), np.asarray(re3))
+    # host protocol decodes (value-127 offset)
+    hr, hi = s2.read(1024)
+    assert hr.dtype == np.float32
+    assert -127.0 <= hr.min() and hr.max() <= 128.0
+    # drives the real session loop (batched u8 device planes)
+    from kspecanal_tpu import session as sess_mod
+    cfg = SpecConfig(prg_mode="ZEROSPAN", fft_size=256, sampling_rate=2.4e6,
+                     x_res=256).finalize()
+    sess = sess_mod.Session(cfg, DeviceNoiseIQSource(seed=1), catch_up=4)
+    state = sess_mod.run_zero_span(sess, max_iters=8)
+    assert int(state.iteration) == 8
+    assert np.all(np.isfinite(np.asarray(state.fft_avg)))
+    # the u8 planes through the batched fold == the SAME planes decoded
+    # on the host through the f32 fold (in-VMEM/XLA decode parity)
+    from kspecanal_tpu.models import zerospan as zs
+    s3 = DeviceNoiseIQSource(seed=3)
+    bre, bim = s3.read_device_batch(4, cfg.full_size)
+    st_u8, _ = zs.zero_span_steps_jit(zs.init_state(cfg), bre, bim, cfg)
+    st_f32, _ = zs.zero_span_steps_jit(
+        zs.init_state(cfg),
+        jnp.asarray(np.asarray(bre).astype(np.float32) - 127.0),
+        jnp.asarray(np.asarray(bim).astype(np.float32) - 127.0), cfg)
+    np.testing.assert_allclose(np.asarray(st_u8.fft_avg),
+                               np.asarray(st_f32.fft_avg),
+                               rtol=1e-5, atol=1e-5)
