@@ -85,6 +85,17 @@ def split_complex64(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 def _bind_stream(lib: ctypes.CDLL) -> None:
     if getattr(lib, "_iqs_bound", False):
         return
+    try:
+        _bind_stream_symbols(lib)
+    except AttributeError as e:
+        # Stale prebuilt .so (older sources) on a machine where make is
+        # unavailable: surface as OSError so callers' documented
+        # `except (OSError, ImportError)` fallback (NumPy reader) holds.
+        raise OSError(f"native iqstream symbols missing (stale build?): "
+                      f"{e}") from e
+
+
+def _bind_stream_symbols(lib: ctypes.CDLL) -> None:
     lib.iqs_open.argtypes = [ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int]
     lib.iqs_open.restype = ctypes.c_void_p
     lib.iqs_open_raw.argtypes = [ctypes.c_char_p, ctypes.c_size_t,

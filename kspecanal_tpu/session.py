@@ -428,16 +428,22 @@ def run_zero_span_play(sess: Session, max_iters: Optional[int] = None
     # the batched display fold (zs.display_updates — exactly the serial
     # fold); render cadence coarsens to the batch tail like the other
     # catch-up drivers.  K=1 keeps the reference's per-frame cadence.
+    # The same staging-byte bound as the capture drivers applies (frames
+    # are fft_size f32s each; the recorded frame length may override
+    # cfg.fft_size below, so the bound is re-derived per batch).
     chunk = max(1, sess.catch_up)
+    want_view = sess.renderer is not None
     i = 0
     batch: list = []
     with player:
         frames = player.frames()
         while i < n and not sess.stop:
             batch.clear()
+            cap = max(1, min(chunk,
+                             _CATCHUP_STAGING_BYTES // (4 * cfg.fft_size)))
             for ts, frame in frames:
                 batch.append((ts, np.asarray(frame, np.float32)))
-                if len(batch) >= min(chunk, n - i):
+                if len(batch) >= min(cap, n - i):
                     break
             if not batch:
                 break
@@ -456,11 +462,17 @@ def run_zero_span_play(sess: Session, max_iters: Optional[int] = None
             k = len(batch)
             with sess.timer.stage("dsp", k * cfg.fft_size):
                 spec = jnp.asarray(np.stack([f for _, f in batch]))
-                state, view = zs.display_updates_jit(state, spec, cfg, adj)
+                state, view = zs.display_updates_jit(state, spec, cfg, adj,
+                                                     want_view)
             i += k
             with sess.timer.stage("render"):
                 sess._emit(view, i - 1,
                            ZeroSpanPlayer.format_timestamp(batch[-1][0]))
+            # GUI toggles reach replay too (parity with the live drivers).
+            new_cfg = sess._apply_pending_toggles(cfg)
+            if new_cfg is not cfg:
+                cfg = new_cfg
+                want_view = sess.renderer is not None
     if state is not None:
         sess.final_avg = np.asarray(state.fft_avg, np.float64)
     return state

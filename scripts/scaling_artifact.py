@@ -112,11 +112,19 @@ def main(out_json: str) -> int:
         [sys.executable, worker, str(port), str(pid), tmp], env=env,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
         for pid in (0, 1)]
-    for p in procs:
-        out, _ = p.communicate(timeout=300)
-        if p.returncode != 0:
-            print(out[-2000:], file=sys.stderr)
-            return 1
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            if p.returncode != 0:
+                print(out[-2000:], file=sys.stderr)
+                return 1
+    finally:
+        # A failed/deadlocked worker must not orphan its sibling (it
+        # would keep holding the coordinator port across reruns).
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     rates_2proc = []
     for pid in (0, 1):
         with np.load(os.path.join(tmp, f"result_{pid}.npz")) as z:
