@@ -417,8 +417,14 @@ def main():
     # scan drivers actually dispatch for 8-bit sources): 2 B/sample over
     # the host link, in-VMEM decode in the fused kernel.
     _progress("fm scan sweep, DEFAULT u8-native...")
-    details["fm_scan_default_u8"] = {"tpu": max(scan_sweep_u8_samples_per_s(
-        sweeps_per_dispatch=64, precision="DEFAULT") for _ in range(2))}
+    details["fm_scan_default_u8"] = {
+        "tpu": max(scan_sweep_u8_samples_per_s(
+            sweeps_per_dispatch=64, precision="DEFAULT") for _ in range(2)),
+        "note": "benches stage data on-device, so this entry pays the "
+                "on-device interleaved->planes deinterleave (~1 ms/dispatch"
+                "; r4 probe: the strided u8 slice IS the fastest variant, "
+                "25.5 GB/s vs 17.6 bitcast) without the 4x host-link "
+                "saving raw ship buys in the real session drivers"}
 
     # quickFullScan (BASELINE config 4): 30 MHz - 1.5 GHz, fftSize 64,
     # 1225 bands/sweep through the packed tiny-FFT kernel + the

@@ -564,3 +564,28 @@ def test_prefetching_source_exhausted_is_per_popped_block(tmp_path):
     st = sess_mod.run_zero_span(sess, max_iters=n_blocks + 5)
     # all 10 real blocks consumed; the padded EOF block stops the loop
     assert int(st.iteration) >= n_blocks
+
+
+def test_catchup_readahead_stops_on_exhausted_source(tmp_path):
+    """The double-buffered catch-up driver (r4: batch k+1 stages on a
+    worker thread while batch k computes) preserves the exhaustion
+    contract: the batch containing EOF is processed (127-padded past
+    EOF), the loop stops, and no extra staged batch is folded in."""
+    from kspecanal_tpu import session as sess_mod
+    cfg = _mk_cfg()
+    # 5 blocks of capture, batches of 2: batch 3 (blocks 5-6) hits EOF
+    path = _write_capture(tmp_path, 5 * cfg.full_size)
+    src = FileIQSource(path, wrap=False)
+    sess = sess_mod.Session(cfg, src, catch_up=2)
+    state = sess_mod.run_zero_span(sess, max_iters=50)
+    assert sess.stop
+    assert int(state.iteration) == 6    # 3 batches of 2, EOF inside #3
+    # the fold is batch-size independent: catch_up=3 consumes the same
+    # blocks 1-6 (block 6 being the 127-fill past EOF) in 2 batches
+    src2 = FileIQSource(path, wrap=False)
+    sess2 = sess_mod.Session(cfg, src2, catch_up=3)
+    state2 = sess_mod.run_zero_span(sess2, max_iters=50)
+    assert int(state2.iteration) == 6
+    np.testing.assert_allclose(np.asarray(state.fft_avg),
+                               np.asarray(state2.fft_avg),
+                               rtol=1e-5, atol=1e-5)
