@@ -621,3 +621,23 @@ def test_device_noise_source():
     np.testing.assert_allclose(np.asarray(st_u8.fft_avg),
                                np.asarray(st_f32.fft_avg),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_sincos_from_phase_u32_accuracy():
+    """The synth's integer-quadrant sincos matches float64 ground truth
+    to < 5e-7 absolute over the whole u32 phase circle (the polynomial
+    truncation bound), including the wrap/quadrant boundaries."""
+    import jax.numpy as jnp
+    from kspecanal_tpu.io.sources import _sincos_from_phase_u32
+    rng = np.random.default_rng(91)
+    # dense random coverage + every boundary neighborhood
+    edges = np.array([0, 1, 2**30 - 1, 2**30, 2**30 + 1,
+                      2**31 - 1, 2**31, 3 * 2**30, 2**32 - 1,
+                      2**29, 3 * 2**29, 5 * 2**29, 7 * 2**29],
+                     dtype=np.uint64)
+    ph = np.concatenate([rng.integers(0, 2**32, 20000, dtype=np.uint64),
+                         edges]).astype(np.uint32)
+    s, c = _sincos_from_phase_u32(jnp.asarray(ph))
+    ang = ph.astype(np.float64) * (2.0 * np.pi / 2.0**32)
+    np.testing.assert_allclose(np.asarray(s), np.sin(ang), atol=5e-7)
+    np.testing.assert_allclose(np.asarray(c), np.cos(ang), atol=5e-7)
