@@ -439,26 +439,34 @@ def run_zero_span_play(sess: Session, max_iters: Optional[int] = None
         frames = player.frames()
         while i < n and not sess.stop:
             batch.clear()
+            if state is None:
+                # Peek ONE frame before sizing any batch: the save header
+                # carries fC/fS/gain but not fftSize (kspecanal.py:512-514)
+                # — adapt to the recorded frame length (the reference
+                # implicitly does via len(fftPr)) so the staging cap below
+                # is derived from the REAL frame size, not the configured
+                # one.
+                first = next(iter(frames), None)
+                if first is None:
+                    break
+                f0 = np.asarray(first[1], np.float32)
+                if len(f0) != cfg.fft_size:
+                    log_warn(f"zeroSpanPlay: fftSize[{cfg.fft_size}] -> "
+                             f"recorded frame length [{len(f0)}]")
+                    cfg = sess.cfg = dataclasses.replace(
+                        cfg, fft_size=len(f0),
+                        x_res=min(cfg.x_res, len(f0))).finalize()
+                state = zs.init_state(cfg)
+                batch.append((first[0], f0))
             cap = max(1, min(chunk,
                              _CATCHUP_STAGING_BYTES // (4 * cfg.fft_size)))
-            for ts, frame in frames:
-                batch.append((ts, np.asarray(frame, np.float32)))
-                if len(batch) >= min(cap, n - i):
+            while len(batch) < min(cap, n - i):
+                nxt = next(iter(frames), None)
+                if nxt is None:
                     break
+                batch.append((nxt[0], np.asarray(nxt[1], np.float32)))
             if not batch:
                 break
-            if state is None:
-                # The save header carries fC/fS/gain but not fftSize
-                # (kspecanal.py:512-514); adapt to the recorded frame
-                # length (the reference implicitly does via len(fftPr)).
-                flen = len(batch[0][1])
-                if flen != cfg.fft_size:
-                    log_warn(f"zeroSpanPlay: fftSize[{cfg.fft_size}] -> "
-                             f"recorded frame length [{flen}]")
-                    cfg = sess.cfg = dataclasses.replace(
-                        cfg, fft_size=flen,
-                        x_res=min(cfg.x_res, flen)).finalize()
-                state = zs.init_state(cfg)
             k = len(batch)
             with sess.timer.stage("dsp", k * cfg.fft_size):
                 spec = jnp.asarray(np.stack([f for _, f in batch]))
