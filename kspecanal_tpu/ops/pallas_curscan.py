@@ -412,6 +412,11 @@ def _kernel_sublane(re_ref, im_ref, f1bdr_ref, f1bdi_ref, f2tr_ref, f2ti_ref,
     # natively.  The rotations themselves must stay 32-bit — Mosaic's
     # tpu.dynamic_rotate has no sub-32-bit lowering ("Rotate with
     # non-32-bit data", found on hardware; interpret mode accepts bf16).
+    # bf16 staging is gated on RESIDUES (deep overlap) deliberately: on
+    # the aligned 50% path the explicit casts only add VPU work where
+    # HBM reads bind — measured r4: primary DEFAULT dropped 14.8 -> 13.3
+    # f32 / 19.8 -> 17.3 u8 with staging forced on.  Deep overlap's
+    # frame volume (~10x input) is where the halved traffic wins.
     lo = cfg.tpu_precision.upper() == "DEFAULT" and bool(residues)
     if residues:
         # ONE rotation per residue over the whole plane stack [re0; im0;
