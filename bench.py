@@ -229,10 +229,12 @@ def scan_sweep_u8_samples_per_s(iters: int = 10,
                                 precision: str = "DEFAULT",
                                 preset: tuple = ("fmScan", "fftSize", "2048"),
                                 ) -> float:
-    """Scan-mode sweeps fed RAW u8 capture bytes (S, B, 2*full) — the
-    production 8-bit-SDR ingest: the host ships 2 B/sample, the device
-    deinterleaves and the fused kernels decode in VMEM
-    (models.scan.sweep_steps_u8_jit)."""
+    """Scan-mode sweeps fed RAW u8 capture planes (S, B, full) x2 — the
+    production 8-bit-SDR ingest: the host splits interleaved bytes at
+    memcpy speed (native/iqdecode.cpp iq_split_u8) and ships 2 B/sample
+    of undecoded planes; the fused kernels decode in VMEM.  This is
+    exactly what the scan drivers dispatch (sweep_steps_jit on u8
+    planes) since round 4 moved the deinterleave host-side."""
     import jax
     import jax.numpy as jnp
     from kspecanal_tpu.cli import parse_args
@@ -243,15 +245,16 @@ def scan_sweep_u8_samples_per_s(iters: int = 10,
     b = plan.num_bands
     s = sweeps_per_dispatch
     mk = jax.jit(lambda k: jax.random.randint(
-        k, (s, b, 2 * cfg.full_size), 0, 256).astype(jnp.uint8))
-    raw = mk(jax.random.key(0))
+        k, (2, s, b, cfg.full_size), 0, 256).astype(jnp.uint8))
+    planes = mk(jax.random.key(0))
+    re, im = planes[0], planes[1]
     oks = jnp.ones((s, b), bool)
     state = scan_mod.init_state(cfg, plan)
-    state = scan_mod.sweep_steps_u8_jit(state, raw, oks, cfg, plan)
+    state = scan_mod.sweep_steps_jit(state, re, im, oks, cfg, plan)
     _ = float(state.fft_avg[0])
     t0 = time.perf_counter()
     for _ in range(iters):
-        state = scan_mod.sweep_steps_u8_jit(state, raw, oks, cfg, plan)
+        state = scan_mod.sweep_steps_jit(state, re, im, oks, cfg, plan)
     _ = float(state.fft_avg[0])
     dt = (time.perf_counter() - t0) / iters
     return s * b * cfg.full_size / dt
@@ -419,12 +422,7 @@ def main():
     _progress("fm scan sweep, DEFAULT u8-native...")
     details["fm_scan_default_u8"] = {
         "tpu": max(scan_sweep_u8_samples_per_s(
-            sweeps_per_dispatch=64, precision="DEFAULT") for _ in range(2)),
-        "note": "benches stage data on-device, so this entry pays the "
-                "on-device interleaved->planes deinterleave (~1 ms/dispatch"
-                "; r4 probe: the strided u8 slice IS the fastest variant, "
-                "25.5 GB/s vs 17.6 bitcast) without the 4x host-link "
-                "saving raw ship buys in the real session drivers"}
+            sweeps_per_dispatch=64, precision="DEFAULT") for _ in range(2))}
 
     # quickFullScan (BASELINE config 4): 30 MHz - 1.5 GHz, fftSize 64,
     # 1225 bands/sweep through the packed tiny-FFT kernel + the

@@ -46,6 +46,10 @@ def _load() -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_float), ctypes.c_size_t]
     lib.iq_split_f32.restype = None
+    lib.iq_split_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t, ctypes.c_int]
+    lib.iq_split_u8.restype = None
     _lib = lib
     return lib
 
@@ -66,6 +70,27 @@ def decode_u8_iq(raw: np.ndarray,
         im.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         n, num_threads)
     return re, im
+
+
+def split_u8_iq(raw: np.ndarray,
+                num_threads: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """uint8 interleaved I/Q -> UNDECODED u8 planes (no -127; the device
+    kernels decode in VMEM).  ``raw`` may be any shape whose last axis is
+    the interleaved byte stream; planes halve that axis."""
+    lib = _load()
+    raw = np.ascontiguousarray(raw, np.uint8)
+    n = raw.size // 2
+    out_shape = raw.shape[:-1] + (raw.shape[-1] // 2,)
+    re = np.empty(n, np.uint8)
+    im = np.empty(n, np.uint8)
+    if num_threads <= 0:
+        num_threads = min(8, os.cpu_count() or 1)
+    lib.iq_split_u8(
+        raw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        re.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        im.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n, num_threads)
+    return re.reshape(out_shape), im.reshape(out_shape)
 
 
 def split_complex64(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:

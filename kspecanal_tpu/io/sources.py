@@ -26,6 +26,20 @@ Planes = Tuple[np.ndarray, np.ndarray]
 SDR_READ_UNIT = 2 ** 18
 
 
+def split_u8_planes(raw: np.ndarray) -> Planes:
+    """Interleaved raw u8 I/Q (last axis 2n bytes) -> UNDECODED u8 planes
+    (last axis n), on the HOST: native C++ split when built, NumPy
+    strided copy otherwise.  The device kernels decode the planes in
+    VMEM; splitting host-side removes the on-device strided deinterleave
+    (~1 ms/dispatch measured r4) from every raw ship path."""
+    try:
+        from kspecanal_tpu.io import native_iq
+        return native_iq.split_u8_iq(raw)
+    except (ImportError, OSError):
+        return (np.ascontiguousarray(raw[..., 0::2]),
+                np.ascontiguousarray(raw[..., 1::2]))
+
+
 class IQSource(Protocol):
     center_freq: float
     sample_rate: float

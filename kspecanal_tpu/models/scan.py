@@ -163,6 +163,9 @@ def band_spectra(iq_re: jax.Array, iq_im: jax.Array, retune_ok: jax.Array,
     inherits it per band."""
     if cfg.b_use_psd:
         from kspecanal_tpu.ops.spectrum import psd_welch
+        if iq_re.dtype == jnp.uint8:   # PSD runs through the XLA FFT:
+            iq_re = iq_re.astype(jnp.float32) - 127.0   # decode eagerly
+            iq_im = iq_im.astype(jnp.float32) - 127.0
         lin = jax.vmap(lambda r, i: psd_welch(r, i, cfg))(iq_re, iq_im)
     else:
         lin = curscan_auto_batched(iq_re, iq_im, cfg)

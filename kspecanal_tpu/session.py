@@ -195,10 +195,13 @@ def run_zero_span(sess: Session, max_iters: Optional[int] = None
         sess.iter_times.append(cur - prev)
         log_dbug(f"ZeroSpan:{i}:{cur - prev}")  # kspecanal.py:462
         prev = cur
-        raw = None
+        u8 = False
         with sess.timer.stage("acquire", cfg.full_size):
             if raw_read is not None:
-                raw = raw_read(cfg.full_size)
+                # UNDECODED u8 planes, host-split (see acquire_sweep_raw)
+                from kspecanal_tpu.io.sources import split_u8_planes
+                re, im = split_u8_planes(raw_read(cfg.full_size))
+                u8 = True
             else:
                 re, im = sess.source.read(cfg.full_size)
         if getattr(sess.source, "exhausted", False):
@@ -208,9 +211,15 @@ def run_zero_span(sess: Session, max_iters: Optional[int] = None
             log_warn("zeroSpan: source exhausted; stopping")
             sess.stop = True
         with sess.timer.stage("dsp", cfg.full_size):
-            if raw is not None:
-                state, view = zs.zero_span_steps_u8_jit(
-                    state, jnp.asarray(raw[None]), cfg, adj)
+            if u8:
+                if adj is None:
+                    state, view = zs.zero_span_steps_jit(
+                        state, jnp.asarray(re[None]), jnp.asarray(im[None]),
+                        cfg)
+                else:
+                    state, view = zs.zero_span_steps_adj_jit(
+                        state, jnp.asarray(re[None]), jnp.asarray(im[None]),
+                        adj, cfg)
             elif sess.mesh is not None and sess.mesh.shape.get("time", 1) > 1:
                 # Sequence-parallel: this capture's sample axis sharded
                 # over the mesh ring (halo exchange inside); display half
@@ -278,16 +287,18 @@ def _run_zero_span_catchup(sess: Session, state: zs.ZeroSpanState, adj,
     want_view = sess.renderer is not None
 
     def acquire(k):
-        """One staged batch, transferred to device: ("raw", x) | ("f32",
-        re, im).  Runs on the worker thread for host-backed sources."""
+        """One staged batch, transferred to device as (re, im) planes —
+        u8 (undecoded, host-split) for raw-capable sources, f32
+        otherwise.  Runs on the worker thread for host-backed sources."""
         if dev_batch is not None:
-            re, im = dev_batch(k, cfg.full_size)
-            return ("f32", re, im)
+            return dev_batch(k, cfg.full_size)
         if raw_read is not None:
-            return ("raw", jnp.asarray(np.stack(
-                [raw_read(cfg.full_size) for _ in range(k)])))
+            from kspecanal_tpu.io.sources import split_u8_planes
+            re, im = split_u8_planes(np.stack(
+                [raw_read(cfg.full_size) for _ in range(k)]))
+            return jnp.asarray(re), jnp.asarray(im)
         blocks = [sess.source.read(cfg.full_size) for _ in range(k)]
-        return ("f32", jnp.asarray(np.stack([b[0] for b in blocks])),
+        return (jnp.asarray(np.stack([b[0] for b in blocks])),
                 jnp.asarray(np.stack([b[1] for b in blocks])))
 
     ex = None
@@ -322,15 +333,12 @@ def _run_zero_span_catchup(sess: Session, state: zs.ZeroSpanState, adj,
             if ex is not None and nxt > 0 and not sess.stop:
                 pending = (ex.submit(acquire, nxt), nxt)
             with sess.timer.stage("dsp", k * cfg.full_size):
-                if payload[0] == "raw":
-                    state, view = zs.zero_span_steps_u8_jit(
-                        state, payload[1], cfg, adj, want_view)
-                elif adj is None:
+                if adj is None:
                     state, view = zs.zero_span_steps_jit(
-                        state, payload[1], payload[2], cfg, want_view)
+                        state, payload[0], payload[1], cfg, want_view)
                 else:
                     state, view = zs.zero_span_steps_adj_jit(
-                        state, payload[1], payload[2], adj, cfg, want_view)
+                        state, payload[0], payload[1], adj, cfg, want_view)
             done += k
             with sess.timer.stage("render"):
                 sess._emit(view, done - 1)
@@ -388,11 +396,11 @@ def run_zero_span_save(sess: Session, max_iters: Optional[int] = None) -> int:
                         k = len(blocks)
                         break
                 if raw_read is not None:
-                    # Deinterleave on host into u8 planes (cheap slicing);
+                    # Deinterleave on host into u8 planes (native split);
                     # the batched curscan decodes them in-kernel/in-XLA.
-                    raw_np = np.stack(blocks)
-                    re = jnp.asarray(np.ascontiguousarray(raw_np[:, 0::2]))
-                    im = jnp.asarray(np.ascontiguousarray(raw_np[:, 1::2]))
+                    from kspecanal_tpu.io.sources import split_u8_planes
+                    re_np, im_np = split_u8_planes(np.stack(blocks))
+                    re, im = jnp.asarray(re_np), jnp.asarray(im_np)
                 else:
                     re = jnp.asarray(np.stack([b[0] for b in blocks]))
                     im = jnp.asarray(np.stack([b[1] for b in blocks]))
@@ -533,16 +541,22 @@ def acquire_sweep(source: IQSource, cfg: SpecConfig,
 def acquire_sweep_raw(source: IQSource, cfg: SpecConfig,
                       plan: scan_mod.ScanPlan):
     """RAW-u8 variant of :func:`acquire_sweep` for sources with
-    ``read_raw``: returns ``(raw (B, 2*full) uint8, oks (B,), exhausted)``
-    — the host ships 2 B/sample instead of 8 and the device deinterleaves
-    + decodes (models.scan.sweep_steps_u8_jit).  A failed retune fills
-    127 bytes (decodes to zero; the sentinel substitution keys off
-    ``oks`` anyway, kspecanal.py:637-639)."""
+    ``read_raw``: returns UNDECODED u8 planes
+    ``(re (B, full) u8, im (B, full) u8, oks (B,), exhausted)`` — the
+    host ships 2 B/sample instead of 8 and the device kernels decode in
+    VMEM.  Deinterleaving happens HERE on the host (native C++ split,
+    NumPy fallback): the on-device strided u8 slice costs ~1 ms/dispatch
+    (r4 probe) that a memcpy-speed host split — overlapped by the
+    prefetch thread — avoids.  A failed retune fills 127 bytes (decodes
+    to zero; the sentinel substitution keys off ``oks`` anyway,
+    kspecanal.py:637-639)."""
+    from kspecanal_tpu.io.sources import split_u8_planes
     raws, oks, exhausted = _acquire_sweep_walk(
         source, cfg, plan,
         read_band=lambda: source.read_raw(cfg.full_size),
         dummy_band=lambda: np.full(2 * cfg.full_size, 127, np.uint8))
-    return np.stack(raws), oks, exhausted
+    re, im = split_u8_planes(np.stack(raws))
+    return re, im, oks, exhausted
 
 
 def sweep_bands(sess: Session, plan: scan_mod.ScanPlan):
@@ -606,33 +620,22 @@ def _run_scan_loop(sess: Session, state, adj, plan: scan_mod.ScanPlan,
         log_dbug(f"scanRange:{i}:{cur - prev}")  # kspecanal.py:723
         prev = cur
         with sess.timer.stage("acquire", plan.num_bands * cfg.full_size):
+            # acquire_sweep and acquire_sweep_raw share the tuple shape
+            # (re, im, oks, exhausted): raw-capable sources deliver
+            # UNDECODED u8 planes (host-split; the kernels decode in
+            # VMEM, and band_spectra's PSD path decodes eagerly).
             if pf is not None:
                 sweep = pf.get()
-                exhausted = bool(sweep[-1])
             elif use_raw:
                 sweep = acquire_sweep_raw(sess.source, cfg, plan)
-                exhausted = bool(sweep[-1])
             else:
                 sweep = None
                 re, im, oks = sweep_bands(sess, plan)
                 exhausted = bool(getattr(sess.source, "exhausted", False))
-            if sweep is not None and use_raw:
-                # Deinterleave on HOST into u8 planes (cheap np slicing;
-                # eager device slices would cost extra RPC dispatches per
-                # sweep) — still 2 B/sample over the link, and every
-                # consumer below routes the u8 planes through
-                # curscan_auto_batched, which decodes in-kernel/in-XLA.
-                raw_np = sweep[0]
-                re_np = np.ascontiguousarray(raw_np[..., 0::2])
-                im_np = np.ascontiguousarray(raw_np[..., 1::2])
-                if cfg.b_use_psd:   # the PSD cross-check needs floats
-                    re_np = re_np.astype(np.float32) - np.float32(127.0)
-                    im_np = im_np.astype(np.float32) - np.float32(127.0)
-                re, im = jnp.asarray(re_np), jnp.asarray(im_np)
-                oks = jnp.asarray(sweep[1])
-            elif sweep is not None:
+            if sweep is not None:
                 re, im, oks = (jnp.asarray(sweep[0]), jnp.asarray(sweep[1]),
                                jnp.asarray(sweep[2]))
+                exhausted = bool(sweep[-1])
         if exhausted:
             log_warn("scanRange: source exhausted; stopping after "
                      "this sweep")
@@ -727,17 +730,14 @@ def _run_scan_catchup(sess: Session, state: scan_mod.ScanState, adj,
                 log_warn("scanRange: source exhausted; stopping after "
                          "this batch")
                 sess.stop = True
-            if use_raw:
-                raw = jnp.asarray(np.stack([x[0] for x in sweeps]))
-                oks = jnp.asarray(np.stack([x[1] for x in sweeps]))
-                state = scan_mod.sweep_steps_u8_jit(state, raw, oks, cfg,
-                                                    plan, adj)
-            else:
-                re = jnp.asarray(np.stack([x[0] for x in sweeps]))
-                im = jnp.asarray(np.stack([x[1] for x in sweeps]))
-                oks = jnp.asarray(np.stack([x[2] for x in sweeps]))
-                state = scan_mod.sweep_steps_jit(state, re, im, oks, cfg,
-                                                 plan, adj)
+            # Both acquirers yield (re, im, oks, exhausted); the raw path
+            # carries UNDECODED u8 planes (host-split) that the fused
+            # kernels decode in VMEM.
+            re = jnp.asarray(np.stack([x[0] for x in sweeps]))
+            im = jnp.asarray(np.stack([x[1] for x in sweeps]))
+            oks = jnp.asarray(np.stack([x[2] for x in sweeps]))
+            state = scan_mod.sweep_steps_jit(state, re, im, oks, cfg,
+                                             plan, adj)
             done += s
             if sess.renderer is not None:
                 view = scan_mod.scan_view_jit(state, adj, cfg, plan)

@@ -25,6 +25,14 @@ void decode_span(const uint8_t* raw, float* re, float* im,
     }
 }
 
+void split_span_u8(const uint8_t* raw, uint8_t* re, uint8_t* im,
+                   size_t start, size_t end) {
+    for (size_t i = start; i < end; ++i) {
+        re[i] = raw[2 * i];
+        im[i] = raw[2 * i + 1];
+    }
+}
+
 }  // namespace
 
 extern "C" {
@@ -43,6 +51,27 @@ void iq_decode_u8(const uint8_t* raw, float* re, float* im, size_t n,
         size_t e = s + chunk < n ? s + chunk : n;
         if (s >= e) break;
         ts.emplace_back(decode_span, raw, re, im, s, e);
+    }
+    for (auto& th : ts) th.join();
+}
+
+// Deinterleave RAW uint8 I/Q bytes into UNDECODED u8 planes (no value-127
+// subtraction): the session's 2 B/sample ship path sends planes and the
+// device kernels decode in VMEM — splitting here removes the on-device
+// strided deinterleave (~1 ms/dispatch measured) from every raw path.
+void iq_split_u8(const uint8_t* raw, uint8_t* re, uint8_t* im, size_t n,
+                 int num_threads) {
+    if (num_threads <= 1 || n < (1u << 18)) {
+        split_span_u8(raw, re, im, 0, n);
+        return;
+    }
+    std::vector<std::thread> ts;
+    size_t chunk = (n + num_threads - 1) / num_threads;
+    for (int t = 0; t < num_threads; ++t) {
+        size_t s = t * chunk;
+        size_t e = s + chunk < n ? s + chunk : n;
+        if (s >= e) break;
+        ts.emplace_back(split_span_u8, raw, re, im, s, e);
     }
     for (auto& th : ts) th.join();
 }

@@ -641,3 +641,16 @@ def test_sincos_from_phase_u32_accuracy():
     ang = ph.astype(np.float64) * (2.0 * np.pi / 2.0**32)
     np.testing.assert_allclose(np.asarray(s), np.sin(ang), atol=5e-7)
     np.testing.assert_allclose(np.asarray(c), np.cos(ang), atol=5e-7)
+
+
+def test_split_u8_planes_native_matches_numpy(rng):
+    """Host-side raw split (native C++ iq_split_u8, NumPy fallback):
+    undecoded u8 planes, any leading shape, exact byte parity."""
+    from kspecanal_tpu.io.sources import split_u8_planes
+    for shape in ((2 * 5000,), (4, 2 * 1024), (2, 3, 2 * 256)):
+        raw = rng.integers(0, 256, shape, dtype=np.uint8)
+        re, im = split_u8_planes(raw)
+        assert re.dtype == np.uint8
+        assert re.shape == shape[:-1] + (shape[-1] // 2,)
+        np.testing.assert_array_equal(re, raw[..., 0::2])
+        np.testing.assert_array_equal(im, raw[..., 1::2])
