@@ -184,7 +184,21 @@ class MatplotlibRenderer:
                              dpi=80)
         self.plt.pause(0.0001)
         if self.toggles["plt_highs_pause"]:
-            input("PltHighsPause: Press any key to continue...")
+            self._prompt("PltHighsPause: Press any key to continue...")
+
+    @staticmethod
+    def _prompt(msg: str):
+        """Interactive holds prompt only on a real TTY: a scripted run's
+        silent (non-EOF) stdin would otherwise block forever — a wedged
+        hold was observed holding the TPU open after a completed
+        headless session (round 4)."""
+        import sys
+        if not sys.stdin.isatty():
+            return
+        try:
+            input(msg)
+        except EOFError:   # piped stdin: don't wedge scripted runs
+            pass
 
     def _draw_peaks(self, peaks: List[Peak]):
         """Peak markers + side panel (plot_highs, kspecanal.py:243-272)."""
@@ -205,10 +219,7 @@ class MatplotlibRenderer:
         self._buttons["Quit"].label.set_text("QuitPress")
         self.plt.draw()
         self.plt.pause(0.0001)
-        try:
-            input("Press any key to quit...")
-        except EOFError:   # piped stdin: don't wedge scripted runs
-            pass
+        self._prompt("Press any key to quit...")
 
     def close(self):
         self.plt.close(self.fig)
