@@ -47,6 +47,7 @@ class RunOptions:
     catch_up: int = 0        # zero-span blocks per dispatch (0/1 = serial)
     render_every: str = "sweep"  # scan render cadence: sweep | band
     decimate: int = 1        # time-domain decimation preprocessor factor
+    log_iter: bool = True    # per-iteration timing prints (tpuLogIter)
 
 
 class CliError(ValueError):
@@ -125,6 +126,10 @@ _RUNOPT_KEYMAP = {
     # README.rst:612-622): capture at N*samplingRate, merge N adjacent
     # samples into one (+1 amplitude bit, effective band = samplingRate).
     "TPUDECIMATE": ("decimate", int),
+    # Per-iteration wall-time prints (ZeroSpan:{i}:{dt} etc.).  Default
+    # true matches the reference's unconditional prints
+    # (kspecanal.py:462,519-522,722-724).
+    "TPULOGITER": ("log_iter", _boolean),
 }
 
 
@@ -231,6 +236,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     from kspecanal_tpu import session as sess_mod
 
     cfg, run = parse_args(sys.argv[1:] if argv is None else argv)
+    from kspecanal_tpu.utils.logging import set_iter_logging
+    set_iter_logging(run.log_iter)
     print_info(cfg)
     source = None
     sweep_prefetch = False

@@ -38,18 +38,26 @@ def _load() -> ctypes.CDLL:
                    if getattr(e, "stderr", None) else str(e))
             raise OSError(f"native iqdecode build failed: {err}") from e
     lib = ctypes.CDLL(_LIB_PATH)
-    lib.iq_decode_u8.argtypes = [
-        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
-        ctypes.POINTER(ctypes.c_float), ctypes.c_size_t, ctypes.c_int]
-    lib.iq_decode_u8.restype = None
-    lib.iq_split_f32.argtypes = [
-        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
-        ctypes.POINTER(ctypes.c_float), ctypes.c_size_t]
-    lib.iq_split_f32.restype = None
-    lib.iq_split_u8.argtypes = [
-        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
-        ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t, ctypes.c_int]
-    lib.iq_split_u8.restype = None
+    try:
+        lib.iq_decode_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_size_t, ctypes.c_int]
+        lib.iq_decode_u8.restype = None
+        lib.iq_split_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_size_t]
+        lib.iq_split_f32.restype = None
+        lib.iq_split_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t, ctypes.c_int]
+        lib.iq_split_u8.restype = None
+    except AttributeError as e:
+        # Stale prebuilt .so (older sources, make failed/unavailable):
+        # surface as OSError so callers' documented
+        # `except (OSError, ImportError)` fallback (NumPy path) holds —
+        # mirrors _bind_stream's translation.
+        raise OSError(f"native iqdecode symbols missing (stale build?): "
+                      f"{e}") from e
     _lib = lib
     return lib
 

@@ -212,9 +212,9 @@ class SweepPrefetcher:
         self._worker.start()
 
     def get(self):
-        """Next sweep as the ``acquire_fn`` tuple — by default
-        ``(re, im, oks, exhausted)`` numpy stacks, ``(raw, oks,
-        exhausted)`` for the u8-shipping acquirer; the LAST element is
+        """Next sweep as the ``acquire_fn`` tuple — ``(re, im, oks,
+        exhausted)`` numpy stacks (host-split u8 planes for the
+        u8-shipping acquirer, f32 otherwise); the LAST element is
         always the ``exhausted`` flag.  Re-raises a worker-side source
         error; after ``close()`` drains, acquires synchronously as a
         fallback."""

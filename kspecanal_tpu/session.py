@@ -27,7 +27,8 @@ from kspecanal_tpu.io.sources import IQSource
 from kspecanal_tpu.models import scan as scan_mod
 from kspecanal_tpu.models import zerospan as zs
 from kspecanal_tpu.ops.peaks import find_peaks
-from kspecanal_tpu.utils.logging import log_dbug, log_info, log_warn
+from kspecanal_tpu.utils.logging import (log_dbug, log_info, log_iter,
+                                          log_warn)
 from kspecanal_tpu.utils.profiling import StageTimer
 
 
@@ -193,7 +194,7 @@ def run_zero_span(sess: Session, max_iters: Optional[int] = None
             break
         cur = time.time()
         sess.iter_times.append(cur - prev)
-        log_dbug(f"ZeroSpan:{i}:{cur - prev}")  # kspecanal.py:462
+        log_iter(f"ZeroSpan:{i}:{cur - prev}")  # kspecanal.py:462
         prev = cur
         u8 = False
         with sess.timer.stage("acquire", cfg.full_size):
@@ -247,11 +248,15 @@ def run_zero_span(sess: Session, max_iters: Optional[int] = None
     return state
 
 
-# Host staging bound for one catch-up batch (bytes of IQ payload staged
-# on the host before transfer).  The per-path block cap derives from it:
-# raw u8 ships 2 B/sample, f32 planes 8 B/sample; the on-device synth
-# stages nothing on the host and is bounded by the nominal catch_up cap.
-_CATCHUP_STAGING_BYTES = 1 << 30
+# Host staging bound for ONE COPY of one catch-up batch (bytes of IQ
+# payload).  Peak host RSS runs ~2-3x this: the raw path stacks
+# interleaved bytes then allocates split planes, and double-buffering
+# keeps a second batch staging on the worker while the first is in
+# flight — 512 MiB per-copy keeps the peak ~1-1.5 GiB.  The per-path
+# block cap derives from it: raw u8 ships 2 B/sample, f32 planes
+# 8 B/sample; the on-device synth stages nothing on the host and is
+# bounded by the nominal catch_up cap.
+_CATCHUP_STAGING_BYTES = 1 << 29
 
 
 def _catchup_block_cap(sess: Session, cfg: SpecConfig) -> int:
@@ -314,7 +319,7 @@ def _run_zero_span_catchup(sess: Session, state: zs.ZeroSpanState, adj,
             k = min(cap, n - done)
             cur = time.time()
             sess.iter_times.append(cur - prev)
-            log_dbug(f"ZeroSpan:{done}:{cur - prev}")
+            log_iter(f"ZeroSpan:{done}:{cur - prev}")
             prev = cur
             with sess.timer.stage("acquire", k * cfg.full_size):
                 if pending is not None:
@@ -375,10 +380,17 @@ def run_zero_span_save(sess: Session, max_iters: Optional[int] = None) -> int:
     raw_read = getattr(sess.source, "read_raw", None)
     run = jax.jit(lambda r, i: curscan_auto_batched(r, i, cfg))
     written = 0
+    prev = time.time()
     with ZeroSpanRecorder(cfg.zero_span_save_file, cfg.center_freq,
                           cfg.sampling_rate, cfg.gain) as rec:
         while written < n and not sess.stop:
             k = min(chunk, n - written)
+            cur = time.time()
+            sess.iter_times.append(cur - prev)
+            # Per-chunk analog of the reference's per-frame print
+            # (kspecanal.py:519-522) — one dispatch covers k frames here.
+            log_iter(f"ZeroSpanSave:{written}:{cur - prev}")
+            prev = cur
             with sess.timer.stage("acquire", k * cfg.full_size):
                 # Per-frame capture timestamps (the reference stamps each
                 # iteration individually, kspecanal.py:516-525; one shared
@@ -617,7 +629,7 @@ def _run_scan_loop(sess: Session, state, adj, plan: scan_mod.ScanPlan,
             break
         cur = time.time()
         sess.iter_times.append(cur - prev)
-        log_dbug(f"scanRange:{i}:{cur - prev}")  # kspecanal.py:723
+        log_iter(f"scanRange:{i}:{cur - prev}")  # kspecanal.py:723
         prev = cur
         with sess.timer.stage("acquire", plan.num_bands * cfg.full_size):
             # acquire_sweep and acquire_sweep_raw share the tuple shape
@@ -714,7 +726,7 @@ def _run_scan_catchup(sess: Session, state: scan_mod.ScanState, adj,
             s = min(sess.catch_up, _SCAN_BATCH_CAP, n - done)
             cur = time.time()
             sess.iter_times.append(cur - prev)
-            log_dbug(f"scanRange:{done}:{cur - prev}")
+            log_iter(f"scanRange:{done}:{cur - prev}")
             prev = cur
             with sess.timer.stage("acquire",
                                   s * plan.num_bands * cfg.full_size):

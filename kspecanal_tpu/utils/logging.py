@@ -28,3 +28,22 @@ def log_error(msg: str) -> None:
 
 def log_dbug(msg: str) -> None:
     logger.debug("DBUG:%s", msg)
+
+
+# The reference prints per-iteration wall times BARE and unconditionally
+# (`ZeroSpan:{i}:{dt}` kspecanal.py:462, `ZeroSpanSave:` :519-522,
+# `scanRange:` :722-724) — its primary headless observability signal.
+# Default matches that always-print; ``tpuLogIter false`` silences it.
+_iter_logging = True
+
+
+def set_iter_logging(enabled: bool) -> None:
+    global _iter_logging
+    _iter_logging = bool(enabled)
+
+
+def log_iter(msg: str) -> None:
+    """Per-iteration timing line, bare (no level prefix) for output
+    parity with the reference's prints."""
+    if _iter_logging:
+        logger.info("%s", msg)

@@ -98,6 +98,9 @@ def test_tpu_run_options():
     assert run.source == "file:/tmp/x.iq"
     assert run.headless is True
     assert run.mesh_time == 4
+    assert run.log_iter is True  # default matches the reference's prints
+    _, run2 = parse_args(["zeroSpan", "tpuLogIter", "false"])
+    assert run2.log_iter is False
 
 
 def test_print_info_runs(capsys):

@@ -740,3 +740,45 @@ def test_save_honors_catchup_and_raw_ship(tmp_path):
     assert len(a) == len(b) == 5
     for fa, fb in zip(a, b):
         np.testing.assert_allclose(fa, fb, rtol=1e-6, atol=1e-9)
+
+
+def test_iteration_timing_prints_visible_by_default(tmp_path, caplog):
+    """Per-iteration wall-time lines (ZeroSpan:{i}:{dt} kspecanal.py:462,
+    ZeroSpanSave kspecanal.py:519-522) must be visible in a default
+    headless run — they are the reference's primary observability
+    signal.  tpuLogIter false silences them."""
+    import logging
+
+    from kspecanal_tpu.utils.logging import set_iter_logging
+
+    cfg = zs_cfg()
+    src = SynthIQSource(center_freq=cfg.center_freq,
+                        sample_rate=cfg.sampling_rate, gain=0.5, seed=3)
+    with caplog.at_level(logging.INFO, logger="kspecanal_tpu"):
+        sess_mod.run_zero_span(sess_mod.Session(cfg, src), max_iters=2)
+    assert any(m.startswith("ZeroSpan:0:") for m in caplog.messages)
+    assert any(m.startswith("ZeroSpan:1:") for m in caplog.messages)
+
+    caplog.clear()
+    save_cfg = zs_cfg(prg_mode="ZEROSPANSAVE",
+                      zero_span_save_file=str(tmp_path / "s.pkl"))
+    with caplog.at_level(logging.INFO, logger="kspecanal_tpu"):
+        sess_mod.run_zero_span_save(
+            sess_mod.Session(save_cfg, SynthIQSource(
+                center_freq=cfg.center_freq,
+                sample_rate=cfg.sampling_rate, gain=0.5, seed=3)),
+            max_iters=2)
+    assert any(m.startswith("ZeroSpanSave:0:") for m in caplog.messages)
+
+    # tpuLogIter false: silenced (parse wiring covered in test_cli).
+    caplog.clear()
+    set_iter_logging(False)
+    try:
+        with caplog.at_level(logging.INFO, logger="kspecanal_tpu"):
+            sess_mod.run_zero_span(sess_mod.Session(cfg, SynthIQSource(
+                center_freq=cfg.center_freq,
+                sample_rate=cfg.sampling_rate, gain=0.5, seed=3)),
+                max_iters=1)
+        assert not any(m.startswith("ZeroSpan:") for m in caplog.messages)
+    finally:
+        set_iter_logging(True)

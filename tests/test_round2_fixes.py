@@ -178,6 +178,14 @@ def test_gui_hold_until_key(monkeypatch):
     prompts = []
     monkeypatch.setattr("builtins.input", lambda p="": prompts.append(p))
     try:
+        # non-TTY stdin (the pytest default): the hold must NOT prompt,
+        # or scripted runs would block forever on silent stdin.
+        monkeypatch.setattr("sys.stdin.isatty", lambda: False)
+        r.hold_until_key()
+        assert prompts == []
+        # real TTY: the reference's hold-for-key contract
+        # (kspecanal.py:1152-1155) prompts and relabels the Quit button.
+        monkeypatch.setattr("sys.stdin.isatty", lambda: True)
         r.hold_until_key()
         assert prompts == ["Press any key to quit..."]
         assert r._buttons["Quit"].label.get_text() == "QuitPress"
