@@ -111,7 +111,7 @@ def device_u8_samples_per_s(cfg, t_blocks: int, iters: int = 10) -> float:
 def scan_sweep_samples_per_s(iters: int = 10, sweeps_per_dispatch: int = 16,
                              precision: str = "HIGHEST",
                              preset: tuple = ("fmScan", "fftSize", "2048"),
-                             ) -> float:
+                             return_work_dt: bool = False):
     """Scan-mode sweeps: batched band curscans + the jitted
     overlap-average stitch fold, S sweeps per dispatch
     (models.scan.sweep_steps_jit — one full FM sweep is only ~280
@@ -140,12 +140,15 @@ def scan_sweep_samples_per_s(iters: int = 10, sweeps_per_dispatch: int = 16,
         state = scan_mod.sweep_steps_jit(state, re, im, oks, cfg, plan)
     _ = float(state.fft_avg[0])
     dt = (time.perf_counter() - t0) / iters
+    if return_work_dt:
+        return s * b * cfg.full_size, dt
     return s * b * cfg.full_size / dt
 
 
 def session_samples_per_s(source_kind: str, n_iters: int = 1024,
                           catch_up: int = 128,
-                          precision: str = "HIGHEST") -> float:
+                          precision: str = "HIGHEST",
+                          cfg_kw: dict = None) -> float:
     """End-to-end CLI-loop throughput: ``run_zero_span`` with
     ``tpuCatchUp``, renderer off, on the primary config — the number a
     user actually gets from ``python -m kspecanal_tpu`` (VERDICT r2
@@ -160,9 +163,11 @@ def session_samples_per_s(source_kind: str, n_iters: int = 1024,
     from kspecanal_tpu.config import SpecConfig, WINDOW_KAISER
     from kspecanal_tpu.io import sources
 
-    cfg = SpecConfig(prg_mode="ZEROSPAN", fft_size=2048, sampling_rate=2.4e6,
-                     window=WINDOW_KAISER, cur_scan_non_overlap=0.5,
-                     x_res=512, tpu_precision=precision).finalize()
+    kw = dict(prg_mode="ZEROSPAN", fft_size=2048, sampling_rate=2.4e6,
+              window=WINDOW_KAISER, cur_scan_non_overlap=0.5,
+              x_res=512, tpu_precision=precision)
+    kw.update(cfg_kw or {})
+    cfg = SpecConfig(**kw).finalize()
     tmp = None
     if source_kind == "file":
         rng = np.random.default_rng(0)
@@ -228,7 +233,7 @@ def scan_sweep_u8_samples_per_s(iters: int = 10,
                                 sweeps_per_dispatch: int = 16,
                                 precision: str = "DEFAULT",
                                 preset: tuple = ("fmScan", "fftSize", "2048"),
-                                ) -> float:
+                                return_work_dt: bool = False):
     """Scan-mode sweeps fed RAW u8 capture planes (S, B, full) x2 — the
     production 8-bit-SDR ingest: the host splits interleaved bytes at
     memcpy speed (native/iqdecode.cpp iq_split_u8) and ships 2 B/sample
@@ -257,6 +262,8 @@ def scan_sweep_u8_samples_per_s(iters: int = 10,
         state = scan_mod.sweep_steps_jit(state, re, im, oks, cfg, plan)
     _ = float(state.fft_avg[0])
     dt = (time.perf_counter() - t0) / iters
+    if return_work_dt:
+        return s * b * cfg.full_size, dt
     return s * b * cfg.full_size / dt
 
 
@@ -304,6 +311,23 @@ def replay_frames_per_s(n_frames: int = 8192, catch_up: int = 1024,
             "note": "display-update chain on recorded frames "
                     "(kspecanal.py:530-564), one dispatch per "
                     f"{catch_up}-frame batch"}
+
+
+def _compact(obj, path=""):
+    """Driver-parseable form of the result tree: float values rounded to
+    4 significant digits, 'note'/'methodology' strings emitted to stderr
+    instead of the JSON line (the driver tails only ~2000 chars)."""
+    if isinstance(obj, dict):
+        out = {}
+        for k, v in obj.items():
+            if k in ("note", "methodology") and isinstance(v, str):
+                _progress(f"note[{path or 'result'}]: {v}")
+                continue
+            out[k] = _compact(v, f"{path}.{k}" if path else k)
+        return out
+    if isinstance(obj, float):
+        return float(f"{obj:.4g}")
+    return obj
 
 
 def main():
@@ -384,6 +408,16 @@ def main():
         details[f"fft{fft_size}_ovl90"] = {"tpu": device_samples_per_s(
             c5, t_blocks=t_blocks, iters=5)}
 
+    # BASELINE config 5 geometry (fft16384, 90% overlap) at DEFAULT —
+    # the declared production precision (VERDICT r4 weak #7).
+    c5d = SpecConfig(prg_mode="ZEROSPAN", fft_size=16384,
+                     sampling_rate=2.4e6, window=WINDOW_KAISER,
+                     cur_scan_non_overlap=0.1, x_res=512,
+                     tpu_precision="DEFAULT").finalize()
+    _progress("deep waterfall fft16384 ovl 0.9 DEFAULT...")
+    details["fft16384_ovl90_default"] = {"tpu": device_samples_per_s(
+        c5d, t_blocks=256, iters=5)}
+
     # Reference-default overlap at DEFAULT precision (VERDICT r2 item 3:
     # the >= 2.0 Gsamp/s claim belongs in the JSON), plus the u8-native
     # production variant (8-bit ADC planes decoded in VMEM).
@@ -403,26 +437,43 @@ def main():
         "tpu": device_u8_samples_per_s(c90d, t_blocks=4096, iters=5)}
 
     # Scan mode (BASELINE config 3): full FM sweeps through the batched
-    # gathered stitch (round 3), S sweeps per dispatch
-    _progress("fm scan sweep...")
-    details["fm_scan"] = {"tpu": scan_sweep_samples_per_s(
-        sweeps_per_dispatch=64)}
+    # gathered stitch (round 3), S=128 sweeps per dispatch (the scan
+    # drivers' batch cap — S=64 left one dispatch only ~4.7 Msamp, so
+    # earlier rounds mostly measured the ~2.9 ms RPC floor).  The
+    # marginal entries difference S=64 -> S=128 runs, cancelling the
+    # fixed per-dispatch cost: the closest one chip gets to the fm-scan
+    # kernel rate itself.
+    # best-of-2 everywhere: a single run can read ~25% low through the
+    # tunnel (r4 probe: 2.64 one-shot vs 3.14-3.42 steady).
+    def _best2_workdt(fn, **kw):
+        runs = [fn(return_work_dt=True, **kw) for _ in range(2)]
+        return min(runs, key=lambda r: r[1])   # (work, dt), fastest
+
+    def _marginal(fn, **kw):
+        w64, t64 = _best2_workdt(fn, sweeps_per_dispatch=64, **kw)
+        w128, t128 = _best2_workdt(fn, sweeps_per_dispatch=128, **kw)
+        return {"s128": w128 / t128,
+                "marginal": ((w128 - w64) / (t128 - t64)
+                             if t128 > t64 else float("nan"))}
+
+    _progress("fm scan sweep (S=128 + S=64->128 marginal)...")
+    m = _marginal(scan_sweep_samples_per_s)
+    details["fm_scan"] = {"tpu": m["s128"], "marginal": m["marginal"]}
     # ... and at DEFAULT precision (the production mode for 8-bit SDR
     # sources): the scan chain is curscan-matmul-bound at HIGHEST
     # (docs/DESIGN.md fm ablation), so the bf16 single-pass roughly
     # doubles it.
-    # best-of-2 on the DEFAULT entries: a single run can read ~25% low
-    # through the tunnel (r4 probe: 2.64 one-shot vs 3.14-3.42 steady).
-    _progress("fm scan sweep, tpuPrecision DEFAULT...")
-    details["fm_scan_default"] = {"tpu": max(scan_sweep_samples_per_s(
-        sweeps_per_dispatch=64, precision="DEFAULT") for _ in range(2))}
+    _progress("fm scan sweep DEFAULT (S=128 + marginal)...")
+    m = _marginal(scan_sweep_samples_per_s, precision="DEFAULT")
+    details["fm_scan_default"] = {"tpu": m["s128"],
+                                  "marginal": m["marginal"]}
     # ... and the raw-u8 ship variant (sweep_steps_u8_jit — what the
     # scan drivers actually dispatch for 8-bit sources): 2 B/sample over
     # the host link, in-VMEM decode in the fused kernel.
-    _progress("fm scan sweep, DEFAULT u8-native...")
-    details["fm_scan_default_u8"] = {
-        "tpu": max(scan_sweep_u8_samples_per_s(
-            sweeps_per_dispatch=64, precision="DEFAULT") for _ in range(2))}
+    _progress("fm scan sweep DEFAULT u8-native (S=128 + marginal)...")
+    m = _marginal(scan_sweep_u8_samples_per_s, precision="DEFAULT")
+    details["fm_scan_default_u8"] = {"tpu": m["s128"],
+                                     "marginal": m["marginal"]}
 
     # quickFullScan (BASELINE config 4): 30 MHz - 1.5 GHz, fftSize 64,
     # 1225 bands/sweep through the packed tiny-FFT kernel + the
@@ -486,19 +537,33 @@ def main():
             "devicenoise", n_iters=65536, catch_up=16384,
             precision="DEFAULT"))
 
+    # Reference-launch-default session: fftSize 16384, ones window, 90%
+    # overlap, AVG cumulation (kspecanal.py:45-55 g* defaults) through
+    # the real run_zero_span driver — what a reference user gets if they
+    # switch frameworks and change nothing.
+    _progress("session path (reference launch defaults, fft16384 ones "
+              "ovl90)...")
+    details["session_reference_default"] = _best2(
+        lambda: session_samples_per_s(
+            "devicenoise", n_iters=4096, catch_up=1024,
+            precision="DEFAULT",
+            cfg_kw=dict(fft_size=16384, window="WIN.ONES",
+                        cur_scan_non_overlap=0.1,
+                        cur_scan_cumu_mode="AVG")))
+
     result = {
-        "metric": "IQ samples/s/chip through windowed-FFT+waterfall chain "
-                  "(fftSize 2048, kaiser, 50% overlap)",
+        "metric": "IQ samples/s/chip, fft2048 kaiser 50% overlap chain",
         "value": value,
         "unit": "samples/s",
         "vs_baseline": value / base,
-        # Round-1 numbers (README table) were best-of-1; the tunnel's
-        # occasional ~2x-slow outlier motivated the change (CLAUDE.md).
-        "methodology": "primary tpu: best-of-2 runs of 10 queued iters "
-                       "each; cpu oracle: best-of-5",
         "details": details,
     }
-    print(json.dumps(result))
+    # The driver captures only the last ~2000 chars of stdout, so the
+    # JSON line must stay well under that (round 4's note-bloated line
+    # outgrew it and the round lost its machine-readable artifact).
+    # Notes move to stderr; floats round to 4 significant digits.
+    print(json.dumps(_compact(result)))
+    _progress(f"bench line chars: {len(json.dumps(_compact(result)))}")
 
 
 if __name__ == "__main__":

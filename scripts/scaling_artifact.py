@@ -1,21 +1,28 @@
-"""Emit SCALING_r4.json: the machine-checkable stand-in for the >=80%
+"""Emit SCALING_r5.json: the machine-checkable stand-in for the >=80%
 multi-chip scaling-efficiency claim (BASELINE.md) on this single-chip
-environment (VERDICT r3 item 7).
+environment (VERDICT r4 item 5).
 
-Two measured legs, both on the 8-virtual-device CPU mesh (the only
+Three measured legs, all on the 8-virtual-device CPU mesh (the only
 multi-device substrate available here — see docs/SCALING.md for why real
 ICI efficiency cannot be measured on one chip):
 
-  1. virtual-mesh shard sweep (scripts/scaling_bench.py): total samples/s
-     of the time-sharded streaming waterfall at 1/2/4/8 shards.  Virtual
-     devices share the same physical cores, so the meaningful signal is
-     total throughput staying FLAT (collective/halo overhead ~0), not
-     linear growth.
-  2. 2-process jax.distributed run (tests/mp_worker.py over Gloo) vs the
+  1. weak-scaling sweep (fixed work PER SHARD): per-shard rate vs the
+     1-shard rate.  Virtual shards share the same physical cores, so
+     per-shard rate falls as ~1/s by construction; the rows record that
+     honestly rather than claiming flatness.
+  2. fixed-total-work sweep: constant work on constant physical
+     capacity, so rate(s)/rate(1) isolates the PARTITIONING OVERHEAD
+     (halo exchange, psums, lost fusion) — the one scaling quantity
+     this environment can measure meaningfully.
+  3. 2-process jax.distributed run (tests/mp_worker.py over Gloo) vs the
      identical single-process program: the cross-process collective
      overhead ratio.  Loopback-Gloo socket latency bounds this leg (~ms
      per collective vs us in-process); on real ICI the same collectives
-     are us-scale (docs/SCALING.md byte table).
+     are us-scale.
+
+Plus the static per-step collective-bytes table
+(scripts/collective_bytes.py), and a claim COMPUTED from the measured
+rows so the artifact cannot contradict itself.
 
 Usage: python scripts/scaling_artifact.py [out.json]
 Modes (internal, run in subprocesses with their own device env):
@@ -30,6 +37,7 @@ import tempfile
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "scripts"))
 
 
 def _free_port() -> int:
@@ -78,20 +86,23 @@ def _ref1proc(out_path: str) -> None:
 
 def main(out_json: str) -> int:
     import numpy as np
-    tmp = tempfile.mkdtemp(prefix="scaling_r4_")
+    tmp = tempfile.mkdtemp(prefix="scaling_r5_")
 
-    # --- leg 1: virtual-mesh shard sweep ------------------------------
-    vjson = os.path.join(tmp, "vmesh.json")
-    r = subprocess.run(
-        [sys.executable, os.path.join(_REPO, "scripts", "scaling_bench.py"),
-         "2048", "64", f"--json={vjson}"],
-        env=_env_8dev(), capture_output=True, text=True, timeout=1200)
-    if r.returncode != 0:
-        print(r.stdout + r.stderr, file=sys.stderr)
-        return 1
-    with open(vjson) as f:
-        vmesh = json.load(f)
-    print(r.stdout, flush=True)
+    # --- legs 1+2: virtual-mesh shard sweeps --------------------------
+    sweeps = {}
+    for mode in ("weak", "fixedwork"):
+        vjson = os.path.join(tmp, f"vmesh_{mode}.json")
+        r = subprocess.run(
+            [sys.executable,
+             os.path.join(_REPO, "scripts", "scaling_bench.py"),
+             "2048", "64", f"--mode={mode}", f"--json={vjson}"],
+            env=_env_8dev(), capture_output=True, text=True, timeout=1200)
+        if r.returncode != 0:
+            print(r.stdout + r.stderr, file=sys.stderr)
+            return 1
+        with open(vjson) as f:
+            sweeps[mode] = json.load(f)
+        print(r.stdout, flush=True)
 
     # --- leg 2: 2-process Gloo vs 1-process ---------------------------
     ref_npz = os.path.join(tmp, "ref.npz")
@@ -130,12 +141,47 @@ def main(out_json: str) -> int:
         with np.load(os.path.join(tmp, f"result_{pid}.npz")) as z:
             rates_2proc.append(float(z["rate"]))
 
+    # Static collective-bytes table (computable without hardware).
+    from collective_bytes import rows as cb_rows
+    cbytes = [{"config": r[0], "sp_halo_per_step": r[1],
+               "dp_psum_per_step": r[2], "tp_psum_per_step": r[3],
+               "ep_all_gather_per_sweep": r[4]} for r in cb_rows(8)]
+
+    # Claim text COMPUTED from the measured rows (an artifact whose
+    # prose contradicts its numbers is worse than no artifact —
+    # VERDICT r4 weak #4).
+    weak_rows = sweeps["weak"]["rows"]
+    fw_rows = sweeps["fixedwork"]["rows"]
+    weak_last = weak_rows[-1]
+    fw_worst = min(r["vs_1shard"] for r in fw_rows)
+    fw_best = max(r["vs_1shard"] for r in fw_rows)
+    claim = (
+        f"On the shared-core virtual mesh, weak-scaling per-shard rate "
+        f"falls to {weak_last['per_shard_vs_1shard']:.0%} of the 1-shard "
+        f"rate at {weak_last['shards']} shards — expected ~1/s here, "
+        f"since virtual shards add no compute capacity; this leg is "
+        f"plumbing validation, not an efficiency measurement. With "
+        f"total work held fixed, throughput across 1-"
+        f"{fw_rows[-1]['shards']} shards stays between {fw_worst:.0%} "
+        f"and {fw_best:.0%} of the unsharded rate (values above 100% "
+        f"reflect better host-core utilization under sharding) — so "
+        f"the partitioning overhead (halo + psums + lost fusion) costs "
+        f"at most {max(0.0, 1 - fw_worst):.0%} here, the one scaling "
+        f"quantity this environment can isolate. The 2-process Gloo run is deadlock-free with "
+        f"bit-identical math (tests/test_multiprocess.py); its "
+        f"{min(rates_2proc) / rate_1proc:.0%} rate ratio measures "
+        f"loopback-socket collective latency, not ICI. The >=80% "
+        f"multi-chip ICI target remains unmeasured pending multi-chip "
+        f"hardware."
+    )
+
     artifact = {
-        "round": 4,
+        "round": 5,
         "substrate": "8 virtual CPU devices (single-chip environment; "
                      "real ICI scaling unmeasurable here — see "
                      "docs/SCALING.md)",
-        "virtual_mesh_sweep": vmesh,
+        "weak_scaling_fixed_work_per_shard": sweeps["weak"],
+        "fixed_total_work_overhead": sweeps["fixedwork"],
         "two_process_gloo": {
             "rate_1proc_samples_per_s": rate_1proc,
             "rate_2proc_samples_per_s": rates_2proc,
@@ -144,10 +190,8 @@ def main(out_json: str) -> int:
                     "size (~ms/collective vs us in-process); bit-identical "
                     "outputs are asserted in tests/test_multiprocess.py",
         },
-        "claim": "total virtual-mesh throughput stays flat as shards are "
-                 "added (collective/halo overhead ~0) and the 2-process "
-                 "run is deadlock-free with identical math; the >=80% ICI "
-                 "target remains unmeasured pending multi-chip hardware",
+        "collective_bytes_per_step": cbytes,
+        "claim": claim,
     }
     with open(out_json, "w") as f:
         json.dump(artifact, f, indent=1)
@@ -160,5 +204,5 @@ if __name__ == "__main__":
         _ref1proc(sys.argv[2])
         sys.exit(0)
     out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
-        _REPO, "SCALING_r4.json")
+        _REPO, "SCALING_r5.json")
     sys.exit(main(out))
