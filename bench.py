@@ -209,10 +209,12 @@ def session_samples_per_s(source_kind: str, n_iters: int = 1024,
         import os
         os.unlink(tmp.name)
     notes = {
-        "file": "wall time is host-link-bound in this environment "
-                "(u8 ships 2 B/sample through a ~100 MB/s tunnel; "
-                "acquisition+transfer overlap device compute on a worker "
-                "thread) — absent on directly-attached TPU hosts",
+        "file": "wall time is host-link-bound in this environment: "
+                "jnp.asarray enqueues async, the actual bytes serialize "
+                "with dispatches on the tunnel, and the backlog lands in "
+                "the drain stage (r5 ablation: acquire-wait 35% + drain "
+                "64% = 98.8% of wall; 2 B/sample at ~48 MB/s effective) "
+                "— absent on directly-attached TPU hosts",
         "devicesynth": "the tone-bank SIMULATOR is the bound: its ~6 "
                        "transcendentals/sample cost 55 ms of the ~100 ms "
                        "batch (scripts/session_ablate.py); see "
@@ -223,10 +225,14 @@ def session_samples_per_s(source_kind: str, n_iters: int = 1024,
                        "dispatch) against the raw kernel rate; compare "
                        "with the same-precision fft2048 u8/f32 entries",
     }
-    return {"tpu": n_iters * cfg.full_size / dt,
-            "host_acquire_rate": sess.timer.rate("acquire"),
-            "host_dispatch_rate": sess.timer.rate("dsp"),
-            "note": notes[source_kind]}
+    out = {"tpu": n_iters * cfg.full_size / dt,
+           "host_acquire_rate": sess.timer.rate("acquire"),
+           "host_dispatch_rate": sess.timer.rate("dsp"),
+           "note": notes[source_kind]}
+    drain = sum(sess.timer.times.get("drain", []))
+    if drain:
+        out["drain_frac"] = drain * out["tpu"] / (n_iters * cfg.full_size)
+    return out
 
 
 def scan_sweep_u8_samples_per_s(iters: int = 10,
