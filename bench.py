@@ -86,6 +86,40 @@ def _progress(msg):
     print(f"# {msg}", file=sys.stderr, flush=True)
 
 
+def device_marginal_samples_per_s(cfg, u8: bool, t_lo: int = 4096,
+                                  t_hi: int = 8192, iters: int = 5) -> float:
+    """T=t_lo -> t_hi differenced device rate: cancels the fixed ~2.9 ms
+    dispatch RPC, measuring the kernel itself (the r5 ablation showed
+    the primary u8 kernel's single-batch bench reading was ~35%
+    dispatch-diluted even at T=8192)."""
+    import jax
+    import jax.numpy as jnp
+    from kspecanal_tpu.parallel.stream import waterfall_stream
+
+    def one(t_blocks):
+        if u8:
+            mk = jax.jit(lambda k: jax.random.randint(
+                k, (2, t_blocks, cfg.full_size), 0, 256).astype(jnp.uint8))
+        else:
+            mk = jax.jit(lambda k: jax.random.normal(
+                k, (2, t_blocks, cfg.full_size), jnp.float32))
+        planes = mk(jax.random.key(0))
+        re, im = planes[0], planes[1]
+        res = waterfall_stream(re, im, cfg)
+        _ = float(res.fft_avg[0])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            res = waterfall_stream(re, im, cfg)
+        _ = float(res.fft_avg[0])
+        return (time.perf_counter() - t0) / iters
+
+    lo = min(one(t_lo) for _ in range(2))
+    hi = min(one(t_hi) for _ in range(2))
+    if hi <= lo:
+        return float("nan")
+    return (t_hi - t_lo) * cfg.full_size / (hi - lo)
+
+
 def device_u8_samples_per_s(cfg, t_blocks: int, iters: int = 10) -> float:
     """Full waterfall chain fed RAW uint8 capture planes (the 8-bit-ADC
     production path): the fused kernel decodes in VMEM, so HBM reads
@@ -373,9 +407,14 @@ def main():
 
     # 8-bit-native ingest (raw u8 planes, in-VMEM decode): the realistic
     # SDR production path, and 4x less HBM read where DEFAULT is bound.
+    cfg_d = dataclasses.replace(cfg, tpu_precision="DEFAULT")
     _progress("primary DEFAULT, u8-native input...")
-    details["fft2048_default_u8"] = {"tpu": device_u8_samples_per_s(
-        dataclasses.replace(cfg, tpu_precision="DEFAULT"), t_blocks=8192)}
+    details["fft2048_default_u8"] = {
+        "tpu": device_u8_samples_per_s(cfg_d, t_blocks=8192),
+        "marginal": device_marginal_samples_per_s(cfg_d, u8=True)}
+    _progress("primary DEFAULT f32 marginal...")
+    details["fft2048_default"]["marginal"] = (
+        device_marginal_samples_per_s(cfg_d, u8=False))
 
     # Secondary: spot checks across the 64-16384 fftSize range.  fft64
     # (the quickFullScan regime, packed read-once kernel) uses a VERY

@@ -112,13 +112,16 @@ def _cumulate_frames(mode: str, adj_scale, parts):
 
 
 def _kernel(re_ref, im_ref, f1r_ref, f1i_ref, f2bdr_ref, f2bdi_ref,
-            twr_ref, twi_ref, winr_ref, out_re_ref, *, cfg: SpecConfig,
-            weights, t_tile: int):
+            twr_ref, twi_ref, winr_ref, f1s_ref, f2bds_ref, out_re_ref, *,
+            cfg: SpecConfig, weights, t_tile: int):
     n = cfg.fft_size
     n1, n2 = _factorize(n)
     w_cnt = cfg.num_windows
     adj_scale = win_adj(cfg.window, n) * 2.0 / n
     dot = _make_dot(cfg.tpu_precision)
+    # 3-multiplication complex matmuls at DEFAULT (see _bd_dot_left):
+    # 3 MXU passes per complex product instead of 4.
+    three_mult = cfg.tpu_precision.upper() == "DEFAULT"
     f1r, f1i = f1r_ref[...], f1i_ref[...]
     win2 = winr_ref[...]                      # (n1, n2) window view
 
@@ -134,8 +137,14 @@ def _kernel(re_ref, im_ref, f1r_ref, f1i_ref, f2bdr_ref, f2bdi_ref,
     ar = jnp.concatenate(frames_re, axis=1)   # (n1, t_tile*W*n2)
     ai = jnp.concatenate(frames_im, axis=1)
 
-    br = dot(f1r, ar) - dot(f1i, ai)          # stage 1 (contract n1)
-    bi = dot(f1r, ai) + dot(f1i, ar)
+    if three_mult:                            # stage 1 (contract n1)
+        t1 = dot(f1r, ar)
+        t2 = dot(f1i, ai)
+        t3 = dot(f1s_ref[...], ar + ai)
+        br, bi = t1 - t2, t3 - t1 - t2
+    else:
+        br = dot(f1r, ar) - dot(f1i, ai)
+        bi = dot(f1r, ai) + dot(f1i, ar)
 
     twr, twi = twr_ref[...], twi_ref[...]     # pre-tiled (n1, t_tile*W*n2)
     cr = br * twr - bi * twi                  # twiddle
@@ -164,8 +173,14 @@ def _kernel(re_ref, im_ref, f1r_ref, f1i_ref, f2bdr_ref, f2bdi_ref,
             f2r_c, f2i_c = f2bdr[:cols, :cols], f2bdi[:cols, :cols]
             crc = crb[:, c0:c0 + cols]
             cic = cib[:, c0:c0 + cols]
-            dr = dot(crc, f2r_c) - dot(cic, f2i_c)
-            di = dot(cic, f2r_c) + dot(crc, f2i_c)
+            if three_mult:
+                t1 = dot(crc, f2r_c)
+                t2 = dot(cic, f2i_c)
+                t3 = dot(crc + cic, f2bds_ref[:cols, :cols])
+                dr, di = t1 - t2, t3 - t1 - t2
+            else:
+                dr = dot(crc, f2r_c) - dot(cic, f2i_c)
+                di = dot(cic, f2r_c) + dot(crc, f2i_c)
             mags.append(jnp.sqrt(dr * dr + di * di))
         mag = mags[0] if len(mags) == 1 else jnp.concatenate(mags, axis=1)
         acc = reduce_mags(mag)                # (n1, W*n2) [k1 ; w,k2]
@@ -200,6 +215,8 @@ def _build(cfg: SpecConfig, interpret: bool, t_tile: int = 1):
         f2bdi[w * n2:(w + 1) * n2, w * n2:(w + 1) * n2] = f2i.T
     f2a, f2b = f2bdr, f2bdi
     f2shape = (bd, bd)
+    f1s = f1r + f1i                # 3M sum tables (DEFAULT; tiny)
+    f2bds = f2bdr + f2bdi
 
     kernel = functools.partial(_kernel, cfg=cfg, weights=weights,
                                t_tile=t_tile)
@@ -224,6 +241,7 @@ def _build(cfg: SpecConfig, interpret: bool, t_tile: int = 1):
                 whole((n1, t_tile * w_cnt * n2)),
                 whole((n1, t_tile * w_cnt * n2)),
                 whole((n1, n2)),
+                whole((n1, n1)), whole(f2shape),
             ],
             out_specs=pl.BlockSpec((t_tile, n1, n2), lambda i: (i, 0, 0)),
             interpret=interpret,
@@ -235,7 +253,7 @@ def _build(cfg: SpecConfig, interpret: bool, t_tile: int = 1):
         )(iq_re.reshape(t, rows, n2), iq_im.reshape(t, rows, n2),
           jnp.asarray(f1r), jnp.asarray(f1i), jnp.asarray(f2a),
           jnp.asarray(f2b), jnp.asarray(twr), jnp.asarray(twi),
-          jnp.asarray(win2))
+          jnp.asarray(win2), jnp.asarray(f1s), jnp.asarray(f2bds))
         # X[k1 + N1*k2] = acc[k1, k2] -> natural order + fftshift (XLA side;
         # output is tiny next to the IQ input)
         spec = acc.transpose(0, 2, 1).reshape(t, n)
@@ -356,13 +374,22 @@ def _shift_lanes(v, r: int, n2: int):
     return jnp.where(lane < n2 - r, rolled[:-1], rolled[1:])
 
 
-def _bd_dot_left(dot, f1r, f1i, ar, ai, n1: int, w_cnt: int, cf: int):
+def _bd_dot_left(dot, f1r, f1i, ar, ai, n1: int, w_cnt: int, cf: int,
+                 f1s=None):
     """Chunked block-diagonal stage-1: B = blockdiag_W(F1) @ A, applied in
     chunks of ``cf`` frames against ONE (cf*n1, cf*n1) chunk table (the
     diagonal pattern repeats).  Block-diag matmul cost scales with the
     square of its dimension, so 128-wide chunks cut the wasted FLOPs vs a
     single (W*n1)^2 operand by ~W*n1/128 while staying MXU-shaped.
-    Ragged tails use a static top-left slice of the table."""
+    Ragged tails take a static top-left slice of the table.
+
+    ``f1s`` (= F1r + F1i, precomputed host-side) switches the complex
+    product to the 3-multiplication form: T1 = F1r@Ar, T2 = F1i@Ai,
+    T3 = (F1r+F1i)@(Ar+Ai); Br = T1-T2, Bi = T3-T1-T2 — 3 MXU passes
+    per chunk instead of 4 (the matmuls, not the VPU, bound this kernel
+    at DEFAULT).  The extra cancellation error in Bi is ~eps_bf16 *
+    |T1+T2|, inside DEFAULT's ~1e-2 error class; HIGHEST/HIGH keep the
+    4-pass form for their accuracy contracts."""
     brs, bis = [], []
     for c in range(0, w_cnt, cf):
         rows = min(cf, w_cnt - c) * n1
@@ -370,16 +397,33 @@ def _bd_dot_left(dot, f1r, f1i, ar, ai, n1: int, w_cnt: int, cf: int):
         f1r_c = f1r[:rows, :rows]
         f1i_c = f1i[:rows, :rows]
         arc, aic = ar[r0:r0 + rows, :], ai[r0:r0 + rows, :]
-        brs.append(dot(f1r_c, arc) - dot(f1i_c, aic))
-        bis.append(dot(f1r_c, aic) + dot(f1i_c, arc))
+        if f1s is not None:
+            t1 = dot(f1r_c, arc)
+            t2 = dot(f1i_c, aic)
+            t3 = dot(f1s[:rows, :rows], arc + aic)
+            brs.append(t1 - t2)
+            bis.append(t3 - t1 - t2)
+        else:
+            brs.append(dot(f1r_c, arc) - dot(f1i_c, aic))
+            bis.append(dot(f1r_c, aic) + dot(f1i_c, arc))
     if len(brs) == 1:
         return brs[0], bis[0]
     return jnp.concatenate(brs, axis=0), jnp.concatenate(bis, axis=0)
 
 
 def _kernel_sublane(re_ref, im_ref, f1bdr_ref, f1bdi_ref, f2tr_ref, f2ti_ref,
-                    twr_ref, twi_ref, winr_ref, out_ref, *, cfg: SpecConfig,
-                    weights, t_tile: int, cf: int, wg: int, u8: bool):
+                    twr_ref, twi_ref, winr_ref, f1bds_ref, f2ts_ref,
+                    out_ref, *, cfg: SpecConfig,
+                    weights, t_tile: int, cf: int, wg: int, u8: bool,
+                    ablate: frozenset = frozenset()):
+    """``ablate`` (perf forensics ONLY — scripts/kernel_ablate.py; the
+    production dispatcher never sets it) removes stages one at a time to
+    attribute kernel time: 'win' (window multiply), 'stage1'/'stage2'
+    (the two DFT matmul stages), 'twiddle', 'sqrt' (|.| -> |.|^2),
+    'cumulate' (weighted reduce -> plain add), 'concat' (per-block dots,
+    no cross-block restacks).  Ablated kernels produce WRONG spectra by
+    construction; every variant keeps the same input reads and an output
+    write so nothing is dead-code-eliminated."""
     n = cfg.fft_size
     n2 = _SUBLANE_N2
     n1 = n // n2
@@ -396,6 +440,13 @@ def _kernel_sublane(re_ref, im_ref, f1bdr_ref, f1bdi_ref, f2tr_ref, f2ti_ref,
     # DEFAULT-precision chain is read-bound (docs/DESIGN.md roofline).
     starts = cfg.window_starts
     residues = sorted({s % n2 for s in starts if s % n2})
+    # 3-multiplication complex matmuls at DEFAULT (see _bd_dot_left):
+    # 25% fewer MXU passes on both DFT stages, using the precomputed
+    # sum tables (F1r+F1i bd chunk, (F2r+F2i)^T).  ALIGNED paths only:
+    # the deep-overlap (residue) path is VPU-rotation-bound, and 3M's
+    # extra operand adds measurably hurt it (r5 smoke: u8 90% marginal
+    # 7.9 -> 7.3 Gsamp/s with 3M on; 50% u8 30.0 -> 31.4 with it).
+    three_mult = cfg.tpu_precision.upper() == "DEFAULT" and not residues
     planes = []
     for b in range(t_tile):
         vr, vi = re_ref[b], im_ref[b]
@@ -457,42 +508,112 @@ def _kernel_sublane(re_ref, im_ref, f1bdr_ref, f1bdi_ref, f2tr_ref, f2ti_ref,
             if lo:
                 fr_cat = fr_cat.astype(jnp.bfloat16)
                 fi_cat = fi_cat.astype(jnp.bfloat16)
-            ab_re.append(fr_cat * win_g)
-            ab_im.append(fi_cat * win_g)
-        ar = jnp.concatenate(ab_re, axis=1)   # (gcnt*n1, t_tile*128)
-        ai = jnp.concatenate(ab_im, axis=1)
+            if "win" in ablate:
+                ab_re.append(fr_cat)
+                ab_im.append(fi_cat)
+            else:
+                ab_re.append(fr_cat * win_g)
+                ab_im.append(fi_cat * win_g)
+        if "concat" in ablate:
+            # Per-block pipeline, no cross-block restacks: stage-1/2 run
+            # once per block at N=128 instead of N=t_tile*128.
+            f1r_t, f1i_t = f1bdr_ref[...], f1bdi_ref[...]
+            f2tr, f2ti = f2tr_ref[...], f2ti_ref[...]
+            f1s_t = f1bds_ref[...] if three_mult else None
+            f2ts = f2ts_ref[...] if three_mult else None
+            if lo:
+                f1r_t, f1i_t = (f1r_t.astype(jnp.bfloat16),
+                                f1i_t.astype(jnp.bfloat16))
+                f2tr, f2ti = (f2tr.astype(jnp.bfloat16),
+                              f2ti.astype(jnp.bfloat16))
+                if three_mult:
+                    f1s_t = f1s_t.astype(jnp.bfloat16)
+                    f2ts = f2ts.astype(jnp.bfloat16)
+            mags = []
+            for b in range(t_tile):
+                arb, aib = ab_re[b], ab_im[b]
+                br, bi = _bd_dot_left(dot, f1r_t, f1i_t, arb, aib,
+                                      n1, gcnt, cf, f1s=f1s_t)
+                twr = twr_ref[:, b * n2:(b + 1) * n2]
+                twi = twi_ref[:, b * n2:(b + 1) * n2]
+                cr = br * twr[:gn1] - bi * twi[:gn1]
+                ci = br * twi[:gn1] + bi * twr[:gn1]
+                if lo:
+                    cr, ci = cr.astype(jnp.bfloat16), ci.astype(jnp.bfloat16)
+                if three_mult:
+                    t1 = dot(cr, f2tr)
+                    t2 = dot(ci, f2ti)
+                    t3 = dot(cr + ci, f2ts)
+                    dr, di = t1 - t2, t3 - t1 - t2
+                else:
+                    dr = dot(cr, f2tr) - dot(ci, f2ti)
+                    di = dot(ci, f2tr) + dot(cr, f2ti)
+                mags.append(jnp.sqrt(dr * dr + di * di))
+            mag = jnp.concatenate(mags, axis=0)
+        else:
+            ar = jnp.concatenate(ab_re, axis=1)   # (gcnt*n1, t_tile*128)
+            ai = jnp.concatenate(ab_im, axis=1)
 
-        f1r_t, f1i_t = f1bdr_ref[...], f1bdi_ref[...]
-        if lo:   # feed the MXU bf16 directly (DEFAULT casts there anyway)
-            f1r_t, f1i_t = (f1r_t.astype(jnp.bfloat16),
-                            f1i_t.astype(jnp.bfloat16))
-        br, bi = _bd_dot_left(dot, f1r_t, f1i_t, ar, ai, n1, gcnt, cf)
+            f1r_t, f1i_t = f1bdr_ref[...], f1bdi_ref[...]
+            f1s_t = f1bds_ref[...] if three_mult else None
+            if lo:   # feed the MXU bf16 directly (DEFAULT casts there anyway)
+                f1r_t, f1i_t = (f1r_t.astype(jnp.bfloat16),
+                                f1i_t.astype(jnp.bfloat16))
+                if three_mult:
+                    f1s_t = f1s_t.astype(jnp.bfloat16)
+            if "stage1" in ablate:
+                br, bi = ar, ai
+            else:
+                br, bi = _bd_dot_left(dot, f1r_t, f1i_t, ar, ai,
+                                      n1, gcnt, cf, f1s=f1s_t)
 
-        twr, twi = twr_ref[...], twi_ref[...]  # (wg*n1, t_tile*128)
-        cr = br * twr[:gn1] - bi * twi[:gn1]
-        ci = br * twi[:gn1] + bi * twr[:gn1]
-        if lo:   # halve the stage-2 restack traffic
-            cr, ci = cr.astype(jnp.bfloat16), ci.astype(jnp.bfloat16)
+            twr, twi = twr_ref[...], twi_ref[...]  # (wg*n1, t_tile*128)
+            if "twiddle" in ablate:
+                cr, ci = br, bi
+            else:
+                cr = br * twr[:gn1] - bi * twi[:gn1]
+                ci = br * twi[:gn1] + bi * twr[:gn1]
+            if lo and not ("stage1" in ablate and "twiddle" in ablate):
+                cr, ci = cr.astype(jnp.bfloat16), ci.astype(jnp.bfloat16)
 
-        # Stage 2 contracts the lane axis; restack blocks on sublanes so it
-        # is one matmul against the shared (128, 128) F2^T.
-        c2r = jnp.concatenate(
-            [cr[:, b * n2:(b + 1) * n2] for b in range(t_tile)], axis=0)
-        c2i = jnp.concatenate(
-            [ci[:, b * n2:(b + 1) * n2] for b in range(t_tile)], axis=0)
-        f2tr, f2ti = f2tr_ref[...], f2ti_ref[...]
-        if lo:
-            f2tr, f2ti = (f2tr.astype(jnp.bfloat16),
-                          f2ti.astype(jnp.bfloat16))
-        dr = dot(c2r, f2tr) - dot(c2i, f2ti)  # (t_tile*gcnt*n1, 128)
-        di = dot(c2i, f2tr) + dot(c2r, f2ti)
-        mag = jnp.sqrt(dr * dr + di * di)
+            # Stage 2 contracts the lane axis; restack blocks on sublanes
+            # so it is one matmul against the shared (128, 128) F2^T.
+            c2r = jnp.concatenate(
+                [cr[:, b * n2:(b + 1) * n2] for b in range(t_tile)], axis=0)
+            c2i = jnp.concatenate(
+                [ci[:, b * n2:(b + 1) * n2] for b in range(t_tile)], axis=0)
+            if "stage2" in ablate:
+                dr, di = (c2r.astype(jnp.float32), c2i.astype(jnp.float32))
+            else:
+                f2tr, f2ti = f2tr_ref[...], f2ti_ref[...]
+                f2ts = f2ts_ref[...] if three_mult else None
+                if lo:
+                    f2tr, f2ti = (f2tr.astype(jnp.bfloat16),
+                                  f2ti.astype(jnp.bfloat16))
+                    if three_mult:
+                        f2ts = f2ts.astype(jnp.bfloat16)
+                if three_mult:
+                    t1 = dot(c2r, f2tr)               # (t*gcnt*n1, 128)
+                    t2 = dot(c2i, f2ti)
+                    t3 = dot(c2r + c2i, f2ts)
+                    dr, di = t1 - t2, t3 - t1 - t2
+                else:
+                    dr = dot(c2r, f2tr) - dot(c2i, f2ti)
+                    di = dot(c2i, f2tr) + dot(c2r, f2ti)
+            if "sqrt" in ablate:
+                mag = dr * dr + di * di
+            else:
+                mag = jnp.sqrt(dr * dr + di * di)
 
         for b in range(t_tile):
-            part = _cumulate_frames(mode, adj_scale, (
-                (weights[g0 + wi] if weights else 0.0,
-                 mag[b * gn1 + wi * n1: b * gn1 + (wi + 1) * n1, :])
-                for wi in range(gcnt)))
+            if "cumulate" in ablate:
+                part = sum(mag[b * gn1 + wi * n1: b * gn1 + (wi + 1) * n1, :]
+                           for wi in range(gcnt))
+            else:
+                part = _cumulate_frames(mode, adj_scale, (
+                    (weights[g0 + wi] if weights else 0.0,
+                     mag[b * gn1 + wi * n1: b * gn1 + (wi + 1) * n1, :])
+                    for wi in range(gcnt)))
             if acc[b] is None:
                 acc[b] = part
             elif mode in (CUMU_AVG, CUMU_RAW):
@@ -507,7 +628,8 @@ def _kernel_sublane(re_ref, im_ref, f1bdr_ref, f1bdi_ref, f2tr_ref, f2ti_ref,
 
 @functools.lru_cache(maxsize=32)
 def _build_sublane(cfg: SpecConfig, interpret: bool, t_tile: int = 1,
-                   wg: int = 0, u8: bool = False):
+                   wg: int = 0, u8: bool = False,
+                   ablate: frozenset = frozenset()):
     from kspecanal_tpu.ops.mxu_fft import _dft_tables_for
     n = cfg.fft_size
     n2 = _SUBLANE_N2
@@ -541,9 +663,14 @@ def _build_sublane(cfg: SpecConfig, interpret: bool, t_tile: int = 1,
         f1bdi[w * n1:(w + 1) * n1, w * n1:(w + 1) * n1] = f1i
     f1a, f1b = f1bdr, f1bdi
     f1shape = (bd, bd)
+    # 3M complex-matmul sum tables (DEFAULT; tiny, always shipped so the
+    # pallas signature stays fixed)
+    f1bds = f1bdr + f1bdi
+    f2ts_tab = (f2r + f2i).T
 
     kernel = functools.partial(_kernel_sublane, cfg=cfg, weights=weights,
-                               t_tile=t_tile, cf=cf, wg=wg, u8=u8)
+                               t_tile=t_tile, cf=cf, wg=wg, u8=u8,
+                               ablate=ablate)
 
     def whole(shape):
         return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
@@ -564,6 +691,7 @@ def _build_sublane(cfg: SpecConfig, interpret: bool, t_tile: int = 1,
                 whole((n2, n2)), whole((n2, n2)),
                 whole((wgn1, t_tile * n2)), whole((wgn1, t_tile * n2)),
                 whole((wgn1, n2)),
+                whole(f1shape), whole((n2, n2)),
             ],
             out_specs=pl.BlockSpec((t_tile, n1, n2), lambda i: (i, 0, 0)),
             interpret=interpret,
@@ -575,7 +703,8 @@ def _build_sublane(cfg: SpecConfig, interpret: bool, t_tile: int = 1,
         )(iq_re.reshape(t, rows, n2), iq_im.reshape(t, rows, n2),
           jnp.asarray(f1a), jnp.asarray(f1b), jnp.asarray(f2r.T),
           jnp.asarray(f2i.T), jnp.asarray(twr), jnp.asarray(twi),
-          jnp.asarray(win_t))
+          jnp.asarray(win_t), jnp.asarray(f1bds),
+          jnp.asarray(np.asarray(f2ts_tab, np.float32)))
         # X[k1 + N1*k2] = acc[k1, k2] -> natural order + fftshift
         spec = acc.transpose(0, 2, 1).reshape(t, n)
         return jnp.fft.fftshift(spec, axes=-1)
@@ -609,8 +738,8 @@ def _vmem_estimate_sublane(cfg: SpecConfig, t_tile: int, wg: int = 0,
     if cfg.tpu_precision.upper() == "HIGH":
         inter += inter // 2
     bd = max(1, min(wg, _BD_CHUNK // n1)) * n1
-    tables = 2 * bd * bd * 4
-    tables += 2 * n2 * n2 * 4 + 2 * wgn1 * t_tile * n2 * 4 + wgn1 * n2 * 4
+    tables = 3 * bd * bd * 4                 # f1 re/im + 3M sum chunk
+    tables += 3 * n2 * n2 * 4 + 2 * wgn1 * t_tile * n2 * 4 + wgn1 * n2 * 4
     # per-block partial accumulators
     tables += t_tile * n1 * n2 * 4
     return inputs + inter + tables
@@ -637,7 +766,7 @@ def _auto_tiles_sublane(cfg: SpecConfig, t: int, u8: bool = False):
 
 def curscan_fused_sublane(iq_re: jax.Array, iq_im: jax.Array,
                           cfg: SpecConfig, t_tile: int = 0,
-                          wg: int = 0) -> jax.Array:
+                          wg: int = 0, ablate=()) -> jax.Array:
     """Sublane-layout fused curscan: (T, full_size) -> (T, fft_size)
     fftshifted linear spectra.  Requires ``supports_fused_sublane(cfg)``.
 
@@ -656,7 +785,8 @@ def curscan_fused_sublane(iq_re: jax.Array, iq_im: jax.Array,
     elif wg <= 0:
         wg = cfg.num_windows
     interpret = jax.default_backend() != "tpu"
-    return _build_sublane(cfg, interpret, t_tile, wg, u8)(iq_re, iq_im)
+    return _build_sublane(cfg, interpret, t_tile, wg, u8,
+                          frozenset(ablate))(iq_re, iq_im)
 
 
 # ---------------------------------------------------------------------------
