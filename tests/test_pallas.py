@@ -367,3 +367,24 @@ def test_sublane_default_bf16_staging_accuracy():
     rel = np.max(np.abs(got_d - want)) / np.max(np.abs(want))
     assert rel < 2e-2, rel
     assert rel > 0  # and it IS the bf16 path, not silently f32
+
+
+def test_sublane_ablate_concat_matches_baseline():
+    """The kernel_ablate 'concat' variant (per-block dots, no cross-block
+    restacks) is the same math in different shapes — must match the
+    production kernel exactly.  Guards the perf-forensics tool
+    (scripts/kernel_ablate.py) against drifting from the kernel."""
+    from kspecanal_tpu.config import SpecConfig, WINDOW_KAISER
+    from kspecanal_tpu.ops.pallas_curscan import curscan_fused_sublane
+    cfg = SpecConfig(prg_mode="ZEROSPAN", fft_size=2048, sampling_rate=2.4e6,
+                     window=WINDOW_KAISER, cur_scan_non_overlap=0.5,
+                     x_res=512, tpu_precision="DEFAULT").finalize()
+    rng = np.random.default_rng(11)
+    re = jnp.asarray(rng.integers(0, 256, (4, cfg.full_size), np.uint8))
+    im = jnp.asarray(rng.integers(0, 256, (4, cfg.full_size), np.uint8))
+    base = curscan_fused_sublane(re, im, cfg)
+    got = curscan_fused_sublane(re, im, cfg, ablate=("concat",))
+    # same math; only the dots' lane grouping changes, so any delta is
+    # accumulation-order float noise (cf. test_fused_t_tile_matches_untiled)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                               rtol=2e-6, atol=1e-9)
