@@ -374,6 +374,11 @@ def _compact(obj, path=""):
             out[k] = _compact(v, f"{path}.{k}" if path else k)
         return out
     if isinstance(obj, float):
+        # json.dumps would emit bare NaN/Infinity — invalid JSON that
+        # breaks the driver parse this compaction exists to protect.
+        import math
+        if not math.isfinite(obj):
+            return None
         return float(f"{obj:.4g}")
     return obj
 
@@ -615,8 +620,9 @@ def main():
     # JSON line must stay well under that (round 4's note-bloated line
     # outgrew it and the round lost its machine-readable artifact).
     # Notes move to stderr; floats round to 4 significant digits.
-    print(json.dumps(_compact(result)))
-    _progress(f"bench line chars: {len(json.dumps(_compact(result)))}")
+    line = json.dumps(_compact(result))
+    print(line)
+    _progress(f"bench line chars: {len(line)}")
 
 
 if __name__ == "__main__":

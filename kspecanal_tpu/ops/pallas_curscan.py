@@ -283,9 +283,14 @@ def _vmem_estimate(cfg: SpecConfig, t_tile: int) -> int:
     inter = 6 * n1 * (t_tile * w_cnt * n2) * 4
     if cfg.tpu_precision.upper() == "HIGH":
         inter += inter // 2
+    if cfg.tpu_precision.upper() == "DEFAULT":
+        # 3M stage-1 keeps (ar+ai) + t1/t2/t3 live: ~1 extra array of
+        # the dominant (n1, t_tile*W*n2) size
+        inter += n1 * (t_tile * w_cnt * n2) * 4
     bd = max(1, min(w_cnt, _BD_CHUNK // n2)) * n2
-    tables = 2 * n1 * n1 * 4 + 2 * n1 * t_tile * w_cnt * n2 * 4
-    tables += 2 * bd * bd * 4
+    # f1 re/im + 3M sum table, twiddle pair, f2bd re/im + 3M sum chunk
+    tables = 3 * n1 * n1 * 4 + 2 * n1 * t_tile * w_cnt * n2 * 4
+    tables += 3 * bd * bd * 4
     return inputs + inter + tables
 
 
@@ -519,6 +524,9 @@ def _kernel_sublane(re_ref, im_ref, f1bdr_ref, f1bdi_ref, f2tr_ref, f2ti_ref,
             # once per block at N=128 instead of N=t_tile*128.
             f1r_t, f1i_t = f1bdr_ref[...], f1bdi_ref[...]
             f2tr, f2ti = f2tr_ref[...], f2ti_ref[...]
+            # lo (deep-overlap bf16 staging) and three_mult are mutually
+            # exclusive: 3M is gated to aligned starts, lo requires
+            # residues — so the sum tables never need a bf16 cast here.
             f1s_t = f1bds_ref[...] if three_mult else None
             f2ts = f2ts_ref[...] if three_mult else None
             if lo:
@@ -526,9 +534,6 @@ def _kernel_sublane(re_ref, im_ref, f1bdr_ref, f1bdi_ref, f2tr_ref, f2ti_ref,
                                 f1i_t.astype(jnp.bfloat16))
                 f2tr, f2ti = (f2tr.astype(jnp.bfloat16),
                               f2ti.astype(jnp.bfloat16))
-                if three_mult:
-                    f1s_t = f1s_t.astype(jnp.bfloat16)
-                    f2ts = f2ts.astype(jnp.bfloat16)
             mags = []
             for b in range(t_tile):
                 arb, aib = ab_re[b], ab_im[b]
@@ -559,8 +564,6 @@ def _kernel_sublane(re_ref, im_ref, f1bdr_ref, f1bdi_ref, f2tr_ref, f2ti_ref,
             if lo:   # feed the MXU bf16 directly (DEFAULT casts there anyway)
                 f1r_t, f1i_t = (f1r_t.astype(jnp.bfloat16),
                                 f1i_t.astype(jnp.bfloat16))
-                if three_mult:
-                    f1s_t = f1s_t.astype(jnp.bfloat16)
             if "stage1" in ablate:
                 br, bi = ar, ai
             else:
@@ -590,8 +593,6 @@ def _kernel_sublane(re_ref, im_ref, f1bdr_ref, f1bdi_ref, f2tr_ref, f2ti_ref,
                 if lo:
                     f2tr, f2ti = (f2tr.astype(jnp.bfloat16),
                                   f2ti.astype(jnp.bfloat16))
-                    if three_mult:
-                        f2ts = f2ts.astype(jnp.bfloat16)
                 if three_mult:
                     t1 = dot(c2r, f2tr)               # (t*gcnt*n1, 128)
                     t2 = dot(c2i, f2ti)

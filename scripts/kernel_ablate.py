@@ -54,8 +54,11 @@ def measure(cfg, ablate, t_blocks, u8, iters=5):
             k, (2, t_blocks, cfg.full_size), jnp.float32))
     planes = mk(jax.random.key(0))
     re, im = planes[0], planes[1]
-    fn = jax.jit(lambda a, b: curscan_fused_sublane(a, b, cfg,
-                                                    ablate=ablate))
+    # curscan_fused_sublane already returns through the lru-cached
+    # jax.jit(call) in _build_sublane — wrapping it again would key a
+    # fresh trace per measure() call.
+    def fn(a, b):
+        return curscan_fused_sublane(a, b, cfg, ablate=ablate)
     out = fn(re, im)
     _ = float(out.ravel()[0])          # force through the tunnel
     t0 = time.perf_counter()
