@@ -444,6 +444,19 @@ def main():
         details[f"fft{fft_size}"] = {
             "tpu": device_samples_per_s(c, t_blocks=t_blocks)}
 
+    # fft16384 DEFAULT u8: the round-5 sublane routing (dense stage-1 at
+    # n1=128 + 3M + in-VMEM decode) — the fastest configuration measured
+    # on this chip (39.9 Gsamp/s marginal).
+    c16d = SpecConfig(prg_mode="ZEROSPAN", fft_size=16384,
+                      sampling_rate=2.4e6, window=WINDOW_KAISER,
+                      cur_scan_non_overlap=0.5, x_res=512,
+                      tpu_precision="DEFAULT").finalize()
+    _progress("fft16384 DEFAULT u8-native...")
+    details["fft16384_default_u8"] = {
+        "tpu": device_u8_samples_per_s(c16d, t_blocks=1024, iters=5),
+        "marginal": device_marginal_samples_per_s(
+            c16d, u8=True, t_lo=512, t_hi=1024)}
+
     # quickFullScan-regime u8 ingest (VERDICT r3 item 2): raw bytes
     # through the packed tiny-FFT kernel's in-VMEM decode, DEFAULT
     # precision (the production combination for 8-bit SDR sources).

@@ -171,7 +171,7 @@ def curscan_direct_batched(iq_re: jax.Array, iq_im: jax.Array,
     return jax.vmap(one)(iq_re, iq_im)
 
 
-def _fused_choice(cfg: SpecConfig) -> Optional[str]:
+def _fused_choice(cfg: SpecConfig, u8: bool = False) -> Optional[str]:
     """Pick the fused-kernel layout for this (fft_size, precision) cell
     from the hardware-measured table (scripts/perf_followup.py, v5e,
     after the chunked block-diag optimization):
@@ -191,7 +191,12 @@ def _fused_choice(cfg: SpecConfig) -> Optional[str]:
 
     Sublane wins almost everywhere now that its stage-1 block-diag is
     chunked to MXU tiles; the lane layout's 128-wide DFT factors keep a
-    slight edge only at 16384 HIGHEST/DEFAULT.
+    slight edge only at 16384 HIGHEST/DEFAULT for f32 inputs (r5
+    marginal, DEFAULT: lane 23.4 vs sublane 21.9 Gsamp/s).  RAW u8
+    inputs at 16384 DEFAULT take the sublane kernel instead — the lane
+    kernel has no in-VMEM decode, so u8 would pay an XLA decode pass +
+    the full f32 HBM read (r5 marginal: sublane u8 39.9 vs that ~23.4
+    ceiling).
     """
     from kspecanal_tpu.ops import pallas_curscan as pk
     fft = cfg.fft_size
@@ -202,6 +207,8 @@ def _fused_choice(cfg: SpecConfig) -> Optional[str]:
         return None
     if sub_ok and lane_ok:
         if fft >= 16384:
+            if prec == "DEFAULT" and u8:
+                return "sublane"
             return "sublane" if prec == "HIGH" else "lane"
         return "sublane"
     return "sublane" if sub_ok else "lane"
@@ -228,7 +235,7 @@ def curscan_auto_batched(iq_re: jax.Array, iq_im: jax.Array,
     from kspecanal_tpu.ops import pallas_curscan
     u8 = iq_re.dtype == jnp.uint8
     if jax.default_backend() == "tpu":
-        choice = _fused_choice(cfg)
+        choice = _fused_choice(cfg, u8)
         if choice == "sublane":
             # u8 planes pass straight through: the kernel decodes in VMEM
             # (4x less HBM read — the DEFAULT-precision binding limit).

@@ -177,6 +177,10 @@ def test_fused_choice_table():
     assert _fused_choice(cfg(4096, "DEFAULT")) == "sublane"
     assert _fused_choice(cfg(16384, "HIGHEST")) == "lane"
     assert _fused_choice(cfg(16384, "HIGH")) == "sublane"
+    # f32 keeps the lane layout at 16384 DEFAULT, but raw u8 takes the
+    # sublane kernel for its in-VMEM decode (r5: 39.9 vs ~23.4 Gsamp/s)
+    assert _fused_choice(cfg(16384, "DEFAULT")) == "lane"
+    assert _fused_choice(cfg(16384, "DEFAULT"), u8=True) == "sublane"
     # fractional hop: the rolled sublane framing applies (round 2)
     assert _fused_choice(cfg(2048, nono=0.1)) == "sublane"
     # 64 is not 128-divisible -> no sublane; lane needs >= 2048
