@@ -174,7 +174,10 @@ def curscan_direct_batched(iq_re: jax.Array, iq_im: jax.Array,
 def _fused_choice(cfg: SpecConfig, u8: bool = False) -> Optional[str]:
     """Pick the fused-kernel layout for this (fft_size, precision) cell
     from the hardware-measured table (scripts/perf_followup.py, v5e,
-    after the chunked block-diag optimization):
+    after the chunked block-diag optimization; round-5's 3M matmuls and
+    marginal-rate methodology lift the DEFAULT cells well above these
+    dispatch-diluted readings — docs/DESIGN.md — but do not change the
+    ORDERING except the u8@16384 case below):
 
       Gsamp/s         HIGHEST   HIGH   DEFAULT
       256   sublane     3.06            4.92     (direct DFT: 2.33)
