@@ -198,3 +198,37 @@ def test_native_build_failure_raises_oserror(monkeypatch, tmp_path):
     monkeypatch.setattr(native_iq.subprocess, "run", boom)
     with pytest.raises(OSError, match="build failed"):
         native_iq._load()
+
+
+def test_bench_compact_keeps_driver_line_parseable():
+    """bench._compact guards the driver artifact: notes move to stderr,
+    floats round to 4 significant digits, and non-finite values become
+    null (bare NaN would make the whole line unparseable — the failure
+    mode that cost round 4 its machine-readable benchmark)."""
+    import importlib.util
+    import json
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "benchmod", os.path.join(os.path.dirname(__file__), os.pardir,
+                                 "bench.py"))
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    result = {
+        "value": 1.23456789e10,
+        "details": {
+            "a": {"tpu": 3.14159e9, "note": "long prose " * 50},
+            "b": {"marginal": float("nan")},
+            "c": {"tpu": float("inf")},
+        },
+        "methodology": "stderr-only",
+    }
+    out = m._compact(result)
+    line = json.dumps(out)
+    assert json.loads(line) == out              # strict JSON round-trip
+    assert "NaN" not in line and "Infinity" not in line
+    assert out["details"]["b"]["marginal"] is None
+    assert out["details"]["c"]["tpu"] is None
+    assert out["value"] == 12350000000.0        # 4 significant digits
+    assert "note" not in out["details"]["a"]
+    assert "methodology" not in out
