@@ -69,7 +69,9 @@ def _make_dot(precision_name: str):
     HIGHEST (six passes).  For HIGH we hand-roll the standard bf16x3
     scheme: split each f32 operand into hi+lo bf16 halves and take the
     three highest-order products — half the passes of HIGHEST for ~1e-5
-    relative error (vs ~1e-2 at DEFAULT, ~4e-7 at HIGHEST).
+    relative error (vs ~1e-2 at DEFAULT, ~4e-7 at HIGHEST; with the r5
+    3M complex form on aligned paths, HIGH measures 3.5e-5 worst-bin on
+    hardware — still squarely between the two).
     """
     prec = matmul_precision(precision_name)
     if prec != jax.lax.Precision.HIGH:
@@ -119,9 +121,10 @@ def _kernel(re_ref, im_ref, f1r_ref, f1i_ref, f2bdr_ref, f2bdi_ref,
     w_cnt = cfg.num_windows
     adj_scale = win_adj(cfg.window, n) * 2.0 / n
     dot = _make_dot(cfg.tpu_precision)
-    # 3-multiplication complex matmuls at DEFAULT (see _bd_dot_left):
-    # 3 MXU passes per complex product instead of 4.
-    three_mult = cfg.tpu_precision.upper() == "DEFAULT"
+    # 3-multiplication complex matmuls at DEFAULT and HIGH (see
+    # _bd_dot_left): 3 complex products instead of 4 — 3 MXU passes at
+    # DEFAULT, 9 instead of 12 at HIGH (each bf16x3 dot is 3 passes).
+    three_mult = cfg.tpu_precision.upper() in ("DEFAULT", "HIGH")
     f1r, f1i = f1r_ref[...], f1i_ref[...]
     win2 = winr_ref[...]                      # (n1, n2) window view
 
@@ -390,11 +393,12 @@ def _bd_dot_left(dot, f1r, f1i, ar, ai, n1: int, w_cnt: int, cf: int,
 
     ``f1s`` (= F1r + F1i, precomputed host-side) switches the complex
     product to the 3-multiplication form: T1 = F1r@Ar, T2 = F1i@Ai,
-    T3 = (F1r+F1i)@(Ar+Ai); Br = T1-T2, Bi = T3-T1-T2 — 3 MXU passes
-    per chunk instead of 4 (the matmuls, not the VPU, bound this kernel
-    at DEFAULT).  The extra cancellation error in Bi is ~eps_bf16 *
-    |T1+T2|, inside DEFAULT's ~1e-2 error class; HIGHEST/HIGH keep the
-    4-pass form for their accuracy contracts."""
+    T3 = (F1r+F1i)@(Ar+Ai); Br = T1-T2, Bi = T3-T1-T2 — 3 complex
+    products per chunk instead of 4 (the matmuls, not the VPU, bound
+    this kernel at DEFAULT/HIGH).  The extra cancellation error in Bi is
+    ~eps(dot) * |T1+T2|: inside DEFAULT's ~1e-2 class and (hardware-
+    measured, r5) within HIGH's ~1e-5 class too; HIGHEST keeps the
+    4-pass form — its near-f32 contract cannot absorb the cancellation."""
     brs, bis = [], []
     for c in range(0, w_cnt, cf):
         rows = min(cf, w_cnt - c) * n1
@@ -445,13 +449,14 @@ def _kernel_sublane(re_ref, im_ref, f1bdr_ref, f1bdi_ref, f2tr_ref, f2ti_ref,
     # DEFAULT-precision chain is read-bound (docs/DESIGN.md roofline).
     starts = cfg.window_starts
     residues = sorted({s % n2 for s in starts if s % n2})
-    # 3-multiplication complex matmuls at DEFAULT (see _bd_dot_left):
-    # 25% fewer MXU passes on both DFT stages, using the precomputed
-    # sum tables (F1r+F1i bd chunk, (F2r+F2i)^T).  ALIGNED paths only:
-    # the deep-overlap (residue) path is VPU-rotation-bound, and 3M's
-    # extra operand adds measurably hurt it (r5 smoke: u8 90% marginal
-    # 7.9 -> 7.3 Gsamp/s with 3M on; 50% u8 30.0 -> 31.4 with it).
-    three_mult = cfg.tpu_precision.upper() == "DEFAULT" and not residues
+    # 3-multiplication complex matmuls at DEFAULT and HIGH (see
+    # _bd_dot_left): 25% fewer MXU passes on both DFT stages, using the
+    # precomputed sum tables (F1r+F1i bd chunk, (F2r+F2i)^T).  ALIGNED
+    # paths only: the deep-overlap (residue) path is VPU-rotation-bound,
+    # and 3M's extra operand adds measurably hurt it (r5 smoke: u8 90%
+    # marginal 7.9 -> 7.3 Gsamp/s with 3M on; 50% u8 30.0 -> 31.4).
+    three_mult = (cfg.tpu_precision.upper() in ("DEFAULT", "HIGH")
+                  and not residues)
     planes = []
     for b in range(t_tile):
         vr, vi = re_ref[b], im_ref[b]

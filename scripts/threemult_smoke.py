@@ -88,6 +88,10 @@ def main():
          True, "sublane"),
         ("sublane fft2048 50% HIGHEST f32 (4M ctrl)", 2048, 0.5, "HIGHEST",
          False, "sublane"),
+        ("sublane fft2048 50% HIGH f32 (3M bf16x3)", 2048, 0.5, "HIGH",
+         False, "sublane"),
+        ("sublane fft2048 50% HIGH u8", 2048, 0.5, "HIGH", True,
+         "sublane"),
         ("lane fft16384 50% DEFAULT f32", 16384, 0.5, "DEFAULT", False,
          "lane"),
     ]
