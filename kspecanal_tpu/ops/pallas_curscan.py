@@ -449,14 +449,23 @@ def _kernel_sublane(re_ref, im_ref, f1bdr_ref, f1bdi_ref, f2tr_ref, f2ti_ref,
     # DEFAULT-precision chain is read-bound (docs/DESIGN.md roofline).
     starts = cfg.window_starts
     residues = sorted({s % n2 for s in starts if s % n2})
-    # 3-multiplication complex matmuls at DEFAULT and HIGH (see
-    # _bd_dot_left): 25% fewer MXU passes on both DFT stages, using the
-    # precomputed sum tables (F1r+F1i bd chunk, (F2r+F2i)^T).  ALIGNED
-    # paths only: the deep-overlap (residue) path is VPU-rotation-bound,
-    # and 3M's extra operand adds measurably hurt it (r5 smoke: u8 90%
-    # marginal 7.9 -> 7.3 Gsamp/s with 3M on; 50% u8 30.0 -> 31.4).
-    three_mult = (cfg.tpu_precision.upper() in ("DEFAULT", "HIGH")
-                  and not residues)
+    # 3-multiplication complex matmuls (see _bd_dot_left): 25% fewer MXU
+    # passes on both DFT stages, using the precomputed sum tables
+    # (F1r+F1i bd chunk, (F2r+F2i)^T).  Gate measured per path (r5,
+    # deep-overlap = residue configs, marginal Gsamp/s 4M -> 3M):
+    #   HIGH: 3M everywhere (deep u8 3.3->4.1, f32 3.1->4.5 — HIGH's
+    #     triple-pass dots make even the rotation-heavy path MXU-bound);
+    #   DEFAULT aligned: 3M (50% u8 30.0 -> 31.4-39.7);
+    #   DEFAULT deep f32: 3M (6.5 -> 7.2);
+    #   DEFAULT deep u8: 4M (9.1 -> 7.7 with 3M — the in-VMEM u8 widen
+    #     chain already loads the VPU; 3M's operand adds tip it over).
+    prec = cfg.tpu_precision.upper()
+    three_mult = (prec == "HIGH"
+                  or (prec == "DEFAULT" and not (residues and u8)))
+    if "force3m" in ablate:      # perf forensics only (scripts/)
+        three_mult = True
+    elif "no3m" in ablate:
+        three_mult = False
     planes = []
     for b in range(t_tile):
         vr, vi = re_ref[b], im_ref[b]
@@ -529,9 +538,6 @@ def _kernel_sublane(re_ref, im_ref, f1bdr_ref, f1bdi_ref, f2tr_ref, f2ti_ref,
             # once per block at N=128 instead of N=t_tile*128.
             f1r_t, f1i_t = f1bdr_ref[...], f1bdi_ref[...]
             f2tr, f2ti = f2tr_ref[...], f2ti_ref[...]
-            # lo (deep-overlap bf16 staging) and three_mult are mutually
-            # exclusive: 3M is gated to aligned starts, lo requires
-            # residues — so the sum tables never need a bf16 cast here.
             f1s_t = f1bds_ref[...] if three_mult else None
             f2ts = f2ts_ref[...] if three_mult else None
             if lo:
@@ -539,6 +545,9 @@ def _kernel_sublane(re_ref, im_ref, f1bdr_ref, f1bdi_ref, f2tr_ref, f2ti_ref,
                                 f1i_t.astype(jnp.bfloat16))
                 f2tr, f2ti = (f2tr.astype(jnp.bfloat16),
                               f2ti.astype(jnp.bfloat16))
+                if three_mult:   # DEFAULT deep f32 stages bf16 (lo) + 3M
+                    f1s_t = f1s_t.astype(jnp.bfloat16)
+                    f2ts = f2ts.astype(jnp.bfloat16)
             mags = []
             for b in range(t_tile):
                 arb, aib = ab_re[b], ab_im[b]
@@ -569,6 +578,8 @@ def _kernel_sublane(re_ref, im_ref, f1bdr_ref, f1bdi_ref, f2tr_ref, f2ti_ref,
             if lo:   # feed the MXU bf16 directly (DEFAULT casts there anyway)
                 f1r_t, f1i_t = (f1r_t.astype(jnp.bfloat16),
                                 f1i_t.astype(jnp.bfloat16))
+                if three_mult:
+                    f1s_t = f1s_t.astype(jnp.bfloat16)
             if "stage1" in ablate:
                 br, bi = ar, ai
             else:
@@ -598,6 +609,8 @@ def _kernel_sublane(re_ref, im_ref, f1bdr_ref, f1bdi_ref, f2tr_ref, f2ti_ref,
                 if lo:
                     f2tr, f2ti = (f2tr.astype(jnp.bfloat16),
                                   f2ti.astype(jnp.bfloat16))
+                    if three_mult:
+                        f2ts = f2ts.astype(jnp.bfloat16)
                 if three_mult:
                     t1 = dot(c2r, f2tr)               # (t*gcnt*n1, 128)
                     t2 = dot(c2i, f2ti)
