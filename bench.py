@@ -538,6 +538,11 @@ def main():
     m = _marginal(scan_sweep_samples_per_s, precision="DEFAULT")
     details["fm_scan_default"] = {"tpu": m["s128"],
                                   "marginal": m["marginal"]}
+    # ... and HIGH (bf16x3 + r5 3M: 9 passes/complex product) — the
+    # middle rung users get between display-fast and near-f32.
+    _progress("fm scan sweep HIGH (S=128 + marginal)...")
+    m = _marginal(scan_sweep_samples_per_s, precision="HIGH")
+    details["fm_scan_high"] = {"tpu": m["s128"], "marginal": m["marginal"]}
     # ... and the raw-u8 ship variant (sweep_steps_u8_jit — what the
     # scan drivers actually dispatch for 8-bit sources): 2 B/sample over
     # the host link, in-VMEM decode in the fused kernel.
