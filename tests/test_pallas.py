@@ -392,3 +392,50 @@ def test_sublane_ablate_concat_matches_baseline():
     # accumulation-order float noise (cf. test_fused_t_tile_matches_untiled)
     np.testing.assert_allclose(np.asarray(got), np.asarray(base),
                                rtol=2e-6, atol=1e-9)
+
+
+def test_threemult_gate_per_path():
+    """Pin the hardware-measured 3M gate (round 5): HIGH uses 3M
+    everywhere, DEFAULT everywhere except deep-overlap u8.  In interpret
+    mode 3M and 4M differ by f32 rounding, so bit-equality against the
+    force3m/no3m overrides detects which form the production gate picked."""
+    from kspecanal_tpu.config import SpecConfig, WINDOW_KAISER
+    from kspecanal_tpu.ops.pallas_curscan import curscan_fused_sublane
+
+    def run(nono, prec, u8, ablate=()):
+        cfg = SpecConfig(prg_mode="ZEROSPAN", fft_size=2048,
+                         sampling_rate=2.4e6, window=WINDOW_KAISER,
+                         cur_scan_non_overlap=nono, x_res=512,
+                         tpu_precision=prec).finalize()
+        rng = np.random.default_rng(13)
+        if u8:
+            re = jnp.asarray(rng.integers(0, 256, (2, cfg.full_size),
+                                          np.uint8))
+            im = jnp.asarray(rng.integers(0, 256, (2, cfg.full_size),
+                                          np.uint8))
+        else:
+            re = jnp.asarray(rng.standard_normal(
+                (2, cfg.full_size)).astype(np.float32))
+            im = jnp.asarray(rng.standard_normal(
+                (2, cfg.full_size)).astype(np.float32))
+        return np.asarray(curscan_fused_sublane(re, im, cfg,
+                                                ablate=ablate))
+
+    cases = [
+        (0.5, "DEFAULT", True, "force3m"),   # aligned DEFAULT: 3M
+        (0.1, "DEFAULT", False, "force3m"),  # deep DEFAULT f32: 3M
+        (0.1, "DEFAULT", True, "no3m"),      # deep DEFAULT u8: 4M
+        (0.1, "HIGH", False, "force3m"),     # HIGH everywhere: 3M
+        (0.5, "HIGHEST", False, "no3m"),     # HIGHEST: exact 4-pass
+    ]
+    for nono, prec, u8, expect in cases:
+        prod = run(nono, prec, u8)
+        want = run(nono, prec, u8, ablate=(expect,))
+        other = "no3m" if expect == "force3m" else "force3m"
+        np.testing.assert_array_equal(
+            prod, want, err_msg=f"{nono}/{prec}/u8={u8} gate mismatch")
+        # sanity: the two forms really differ, so the equality above is
+        # a meaningful discriminator (f32 rounding separates them)
+        assert not np.array_equal(want, run(nono, prec, u8,
+                                            ablate=(other,))), \
+            f"{nono}/{prec}/u8={u8}: 3M and 4M unexpectedly identical"
