@@ -218,7 +218,7 @@ def _build(cfg: SpecConfig, interpret: bool, t_tile: int = 1):
         f2bdi[w * n2:(w + 1) * n2, w * n2:(w + 1) * n2] = f2i.T
     f2a, f2b = f2bdr, f2bdi
     f2shape = (bd, bd)
-    f1s = f1r + f1i                # 3M sum tables (DEFAULT; tiny)
+    f1s = f1r + f1i                # 3M sum tables (DEFAULT/HIGH; tiny)
     f2bds = f2bdr + f2bdi
 
     kernel = functools.partial(_kernel, cfg=cfg, weights=weights,
@@ -286,9 +286,9 @@ def _vmem_estimate(cfg: SpecConfig, t_tile: int) -> int:
     inter = 6 * n1 * (t_tile * w_cnt * n2) * 4
     if cfg.tpu_precision.upper() == "HIGH":
         inter += inter // 2
-    if cfg.tpu_precision.upper() == "DEFAULT":
+    if cfg.tpu_precision.upper() in ("DEFAULT", "HIGH"):
         # 3M stage-1 keeps (ar+ai) + t1/t2/t3 live: ~1 extra array of
-        # the dominant (n1, t_tile*W*n2) size
+        # the dominant (n1, t_tile*W*n2) size (3M runs at HIGH too)
         inter += n1 * (t_tile * w_cnt * n2) * 4
     bd = max(1, min(w_cnt, _BD_CHUNK // n2)) * n2
     # f1 re/im + 3M sum table, twiddle pair, f2bd re/im + 3M sum chunk
@@ -430,9 +430,13 @@ def _kernel_sublane(re_ref, im_ref, f1bdr_ref, f1bdi_ref, f2tr_ref, f2ti_ref,
     attribute kernel time: 'win' (window multiply), 'stage1'/'stage2'
     (the two DFT matmul stages), 'twiddle', 'sqrt' (|.| -> |.|^2),
     'cumulate' (weighted reduce -> plain add), 'concat' (per-block dots,
-    no cross-block restacks).  Ablated kernels produce WRONG spectra by
-    construction; every variant keeps the same input reads and an output
-    write so nothing is dead-code-eliminated."""
+    no cross-block restacks).  Those stage removals produce WRONG
+    spectra by construction (each keeps the same input reads and an
+    output write so nothing is dead-code-eliminated).  Two further keys
+    override the 3M gate with VALID math: 'force3m' / 'no3m' pick the
+    3- or 4-multiplication complex form regardless of the measured
+    production gate (used by scripts/ probes and the gate regression
+    test)."""
     n = cfg.fft_size
     n2 = _SUBLANE_N2
     n1 = n // n2
@@ -682,8 +686,8 @@ def _build_sublane(cfg: SpecConfig, interpret: bool, t_tile: int = 1,
         f1bdi[w * n1:(w + 1) * n1, w * n1:(w + 1) * n1] = f1i
     f1a, f1b = f1bdr, f1bdi
     f1shape = (bd, bd)
-    # 3M complex-matmul sum tables (DEFAULT; tiny, always shipped so the
-    # pallas signature stays fixed)
+    # 3M complex-matmul sum tables (DEFAULT/HIGH; tiny, always shipped
+    # so the pallas signature stays fixed)
     f1bds = f1bdr + f1bdi
     f2ts_tab = (f2r + f2i).T
 

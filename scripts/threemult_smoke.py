@@ -94,6 +94,8 @@ def main():
          "sublane"),
         ("lane fft16384 50% DEFAULT f32", 16384, 0.5, "DEFAULT", False,
          "lane"),
+        ("lane fft16384 50% HIGH f32", 16384, 0.5, "HIGH", False,
+         "lane"),
     ]
     for name, fft, novl, prec, u8, layout in jobs:
         cfg = SpecConfig(prg_mode="ZEROSPAN", fft_size=fft,
